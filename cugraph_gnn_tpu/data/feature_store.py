@@ -1,0 +1,101 @@
+"""FeatureStore: PyG-compatible keyed tensor store over sharded arrays.
+
+ref cugraph_pyg/data/feature_store.py:24-239 — tensors keyed by
+(group_name, attr_name); 2-D tensors become distributed embeddings
+(sharded over ranks with remote gather), 1-D tensors distributed arrays;
+``get`` with an index performs the cross-rank gather.
+
+TPU redesign: values are DistArray shards over the store mesh axis, or
+plain host/device arrays when no mesh is given (single chip).  The
+reference's allgather of dims/shapes at put time is unnecessary — JAX
+global arrays carry global shape.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cugraph_gnn_tpu.store.dist_array import DistArray
+from cugraph_gnn_tpu.store.partition import PartitionBook
+
+
+class FeatureStore:
+    """Keyed feature store; ``mesh=None`` keeps features on one device
+    (or host) and gathers with plain indexing."""
+
+    def __init__(self, mesh=None, axis: str = "store"):
+        self.mesh = mesh
+        self.axis = axis
+        self._store: Dict[Tuple[str, str], object] = {}
+
+    @staticmethod
+    def _key(group_name: Optional[str], attr_name: str):
+        return (group_name or "", attr_name)
+
+    # -- PyG FeatureStore surface -------------------------------------------
+
+    def put_tensor(self, tensor, group_name: Optional[str], attr_name: str,
+                   book: Optional[PartitionBook] = None):
+        key = self._key(group_name, attr_name)
+        if self.mesh is not None:
+            arr = np.asarray(tensor)
+            if arr.ndim == 1:
+                arr = arr[:, None]
+                self._store[key] = ("1d", DistArray.from_array(
+                    arr, self.mesh, self.axis, book=book))
+            else:
+                self._store[key] = ("2d", DistArray.from_array(
+                    arr, self.mesh, self.axis, book=book))
+        else:
+            self._store[key] = ("local", jnp.asarray(tensor))
+
+    def get_tensor(self, group_name: Optional[str], attr_name: str,
+                   ids=None):
+        kind, val = self._store[self._key(group_name, attr_name)]
+        if ids is None:
+            if kind == "local":
+                return val
+            out = val.to_global()
+            return out[:, 0] if kind == "1d" else out
+        ids = jnp.asarray(ids)
+        if kind == "local":
+            ok = ids >= 0
+            rows = val[jnp.clip(ids, 0)]
+            z = jnp.zeros((), val.dtype)
+            return jnp.where(
+                ok[(...,) + (None,) * (rows.ndim - ids.ndim)], rows, z)
+        rows = val.gather(ids)
+        return rows[:, 0] if kind == "1d" else rows
+
+    def remove_tensor(self, group_name: Optional[str], attr_name: str):
+        self._store.pop(self._key(group_name, attr_name), None)
+
+    def get_tensor_size(self, group_name: Optional[str], attr_name: str):
+        kind, val = self._store[self._key(group_name, attr_name)]
+        if kind == "local":
+            return tuple(val.shape)
+        shape = val.shape
+        return (shape[0],) if kind == "1d" else tuple(shape)
+
+    def get_all_tensor_attrs(self):
+        return list(self._store.keys())
+
+    def __contains__(self, key):
+        group, name = key if isinstance(key, tuple) else ("", key)
+        return self._key(group, name) in self._store
+
+    # convenience dict-style access used throughout examples
+    def __setitem__(self, key, tensor):
+        group, name = key if isinstance(key, tuple) else ("", key)
+        self.put_tensor(tensor, group, name)
+
+    def __getitem__(self, key):
+        group, name = key if isinstance(key, tuple) else ("", key)
+        return self.get_tensor(group, name)
+
+    def multi_get_tensor(self, keys, ids=None):
+        return [self.get_tensor(g, n, ids) for g, n in keys]

@@ -1,0 +1,194 @@
+"""NodeLoader / NeighborLoader: seed-batched sampling loaders.
+
+ref cugraph_pyg/loader/node_loader.py:16-178 and
+neighbor_loader.py:20-236 — PyG-duck-typed loaders: normalize input
+nodes, shuffle per epoch, fixed-size batches, delegate to the sampler,
+join with features.
+
+TPU redesign: batches are *fixed-size* (last partial batch is padded
+with -1 seeds, or dropped with drop_last) so every step reuses one
+compiled program — the analog of the reference's fixed
+`local_seeds_per_call` call groups (ref distributed_sampler.py:279-343).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cugraph_gnn_tpu.data.feature_store import FeatureStore
+from cugraph_gnn_tpu.data.graph_store import GraphStore
+from cugraph_gnn_tpu.sampler.neighbor_sampler import NeighborSampler
+from cugraph_gnn_tpu.sampler.output import MultihopBatch
+
+
+@dataclasses.dataclass
+class NodeBatch:
+    """One sampled training batch (PyG `Data`-ish duck type)."""
+
+    sample: MultihopBatch
+    x: Optional[jax.Array]          # (S_L, F) features of sample.input_nodes
+    y: Optional[jax.Array]          # (B,) labels of the seeds
+    seeds: jax.Array                # (B,) global seed ids (-1 padded)
+    input_id: jax.Array             # (B,) positions in the input_nodes list
+    batch_size: int
+
+    @property
+    def num_valid(self):
+        return self.sample.seed_count
+
+
+class NodeLoader:
+    """Base loader: shuffling + fixed-size seed batches
+    (ref node_loader.py:102-166)."""
+
+    def __init__(self, data: Tuple[FeatureStore, GraphStore], sampler,
+                 input_nodes=None, batch_size: int = 512,
+                 shuffle: bool = False, drop_last: bool = False,
+                 x_attr: str = "x", y_attr: str = "y",
+                 input_time=None, seed: int = 0):
+        self.feature_store, self.graph_store = data
+        self.sampler = sampler
+        if input_nodes is None:
+            input_nodes = np.arange(self.graph_store.num_nodes())
+        # PyG allows (node_type, ids) tuples for hetero input
+        self.input_type = None
+        if isinstance(input_nodes, tuple):
+            self.input_type, input_nodes = input_nodes
+            offset = self.graph_store.node_offset(self.input_type)
+            input_nodes = np.asarray(input_nodes) + offset
+        self.input_nodes = np.asarray(input_nodes).astype(np.int64)
+        self.input_time = None if input_time is None else np.asarray(input_time)
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.x_attr = x_attr
+        self.y_attr = y_attr
+        self._epoch = 0
+        self._base_key = jax.random.PRNGKey(seed)
+
+    def __len__(self):
+        n = len(self.input_nodes)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _epoch_order(self) -> np.ndarray:
+        order = np.arange(len(self.input_nodes))
+        if self.shuffle:
+            rng = np.random.default_rng(self._epoch + 12345)
+            rng.shuffle(order)
+        return order
+
+    def __iter__(self) -> Iterator[NodeBatch]:
+        order = self._epoch_order()
+        key = jax.random.fold_in(self._base_key, self._epoch)
+        self._epoch += 1
+        b = self.batch_size
+        n_batches = len(self)
+        for i in range(n_batches):
+            sel = order[i * b: (i + 1) * b]
+            input_id = np.full((b,), -1, np.int64)
+            input_id[: len(sel)] = sel
+            seeds = np.full((b,), -1, np.int64)
+            seeds[: len(sel)] = self.input_nodes[sel]
+            seeds_j = jnp.asarray(seeds, jnp.int32)
+            times = None
+            if self.input_time is not None:
+                t = np.zeros((b,), self.input_time.dtype)
+                t[: len(sel)] = self.input_time[sel]
+                times = jnp.asarray(t)
+            skey = jax.random.fold_in(key, i)
+            sample = self.sampler.sample(skey, seeds_j, times)
+            x = self._gather_x(sample)
+            y = self._gather_y(seeds_j)
+            yield NodeBatch(sample=sample, x=x, y=y, seeds=seeds_j,
+                            input_id=jnp.asarray(input_id),
+                            batch_size=b)
+
+    def _gather_x(self, sample):
+        if self.graph_store.is_homogeneous:
+            if ("", self.x_attr) not in self.feature_store:
+                return None
+            return self.feature_store.get_tensor(
+                "", self.x_attr, ids=sample.input_nodes)
+        # Heterogeneous: per-node-type feature dict.  Input nodes span all
+        # types in the global id space; for each type, gather its rows
+        # (rows of other types are zero) — RGCN models combine these with
+        # the type masks implied by the node-offset ranges.
+        inp = sample.input_nodes
+        out = {}
+        for nt in self.graph_store.node_types:
+            if (nt, self.x_attr) not in self.feature_store:
+                continue
+            off = self.graph_store.node_offset(nt)
+            n = self.graph_store.num_nodes(nt)
+            local = inp - off
+            ok = (local >= 0) & (local < n)
+            out[nt] = self.feature_store.get_tensor(
+                nt, self.x_attr, ids=jnp.where(ok, local, -1))
+        return out or None
+
+    def _gather_y(self, seeds):
+        key = ("", self.y_attr) if self.input_type is None else (
+            self.input_type, self.y_attr)
+        if key not in self.feature_store:
+            return None
+        return self.feature_store.get_tensor(*key, ids=seeds)
+
+
+class NeighborLoader(NodeLoader):
+    """NeighborLoader: builds the sampler from the graph store
+    (ref neighbor_loader.py:162-201: CSR default for homogeneous graphs,
+    weight_attr -> biased, time_attr -> temporal)."""
+
+    def __init__(self, data: Tuple[FeatureStore, GraphStore],
+                 num_neighbors: Sequence[int], input_nodes=None,
+                 batch_size: int = 512, shuffle: bool = False,
+                 drop_last: bool = False, weight_attr: Optional[str] = None,
+                 time_attr: Optional[str] = None, input_time=None,
+                 seed: int = 0, **kwargs):
+        feature_store, graph_store = data
+        graph = graph_store.finalize()
+        if graph.is_homogeneous:
+            indptr, indices = graph.homogeneous_csr()
+            et = graph.etypes[0]
+            weights = None
+            times = None
+            maxdeg = None
+            if weight_attr is not None:
+                w = feature_store.get_tensor("", weight_attr)
+                weights = _edge_attr_to_csr_order(
+                    graph_store, graph, et, w)
+                maxdeg = graph.max_degree_by_etype[et]
+            if time_attr is not None:
+                t = feature_store.get_tensor("", time_attr)
+                times = _edge_attr_to_csr_order(graph_store, graph, et, t)
+                maxdeg = graph.max_degree_by_etype[et]
+            sampler = NeighborSampler(
+                indptr, indices, num_neighbors, weights=weights,
+                edge_times=times, max_degree=maxdeg)
+        else:
+            from cugraph_gnn_tpu.sampler.hetero import HeteroNeighborSampler
+            sampler = HeteroNeighborSampler(graph, num_neighbors)
+        super().__init__(data, sampler, input_nodes=input_nodes,
+                         batch_size=batch_size, shuffle=shuffle,
+                         drop_last=drop_last, input_time=input_time,
+                         seed=seed, **kwargs)
+
+
+def _edge_attr_to_csr_order(graph_store: GraphStore, graph, et, attr):
+    """Edge attributes are stored in COO input order; the CSR edge id is
+    its position after the sort — re-order once at load."""
+    src, dst = graph_store.get_edge_index(et)
+    total = graph.num_nodes_total
+    st, _, dt = et
+    gsrc = np.asarray(src).astype(np.int64) + graph.node_offsets[st]
+    gdst = np.asarray(dst).astype(np.int64) + graph.node_offsets[dt]
+    from cugraph_gnn_tpu.ops.csr import coo_to_csr_np
+    _, perm = coo_to_csr_np(gdst, gsrc, total, sort_by="src")
+    return jnp.asarray(np.asarray(attr)[perm])

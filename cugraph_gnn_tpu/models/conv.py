@@ -1,0 +1,225 @@
+"""Graph convolution layers (flax.linen), TPU-first.
+
+The reference delegates all model math to PyG (SURVEY.md: "Model math is
+NOT implemented here — it comes from PyG"); in the TPU framework the
+convs are first-class, built on the dense fixed-fanout layout from the
+sampler (MXU-friendly: every op is a batched matmul or masked reduction)
+with full-graph COO variants for full-batch training.
+
+Each conv exposes:
+  __call__(x_dst, x_neigh, mask)  — sampled path; x_neigh (S, k, F) are
+      pre-gathered neighbor features (gathering may be distributed and is
+      the framework's job, not the layer's).
+  full(x, src, dst, num_nodes)    — full-batch COO path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cugraph_gnn_tpu.ops.sddmm import fanout_attention_softmax
+from cugraph_gnn_tpu.ops.spmm import fanout_aggregate, segment_spmm
+
+
+class SAGEConv(nn.Module):
+    """GraphSAGE convolution (mean/max/sum aggregator).
+
+    h = W_l x_dst + W_r agg_{j in N(dst)} x_j       (PyG SAGEConv semantics)
+    """
+
+    features: int
+    aggr: str = "mean"
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        self.lin_self = nn.Dense(self.features, use_bias=self.use_bias,
+                                 dtype=self.dtype, name="lin_self")
+        self.lin_neigh = nn.Dense(self.features, use_bias=False,
+                                  dtype=self.dtype, name="lin_neigh")
+
+    def __call__(self, x_dst, x_neigh, mask):
+        agg = fanout_aggregate(x_neigh, mask, self.aggr)
+        return self.lin_self(x_dst) + self.lin_neigh(agg)
+
+    def full(self, x, src, dst, num_nodes: int):
+        agg = segment_spmm(x, src, dst, num_nodes, reduce=self.aggr)
+        return self.lin_self(x[:num_nodes]) + self.lin_neigh(agg)
+
+
+class GCNConv(nn.Module):
+    """GCN convolution with symmetric normalization.
+
+    Sampled path approximates the normalization with provided global
+    degrees when available (``deg_dst``/``deg_neigh``), else mean
+    aggregation (the standard minibatch GCN approximation).
+    """
+
+    features: int
+    use_bias: bool = True
+    add_self_loops: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        self.lin = nn.Dense(self.features, use_bias=self.use_bias,
+                            dtype=self.dtype, name="lin")
+
+    def __call__(self, x_dst, x_neigh, mask, deg_dst=None, deg_neigh=None):
+        if deg_dst is not None and deg_neigh is not None:
+            dd = jnp.maximum(deg_dst, 1).astype(x_neigh.dtype)
+            dn = jnp.maximum(deg_neigh, 1).astype(x_neigh.dtype)
+            w = jax.lax.rsqrt(dd)[:, None] * jax.lax.rsqrt(dn)
+            msgs = x_neigh * jnp.where(mask, w, 0)[..., None]
+            agg = jnp.sum(msgs, axis=1)
+            if self.add_self_loops:
+                agg = agg + x_dst / dd[:, None]
+        else:
+            agg = fanout_aggregate(x_neigh, mask, "mean")
+            if self.add_self_loops:
+                n = jnp.maximum(jnp.sum(mask, axis=1), 1)[:, None]
+                agg = (agg * n + x_dst) / (n + 1).astype(agg.dtype)
+        return self.lin(agg)
+
+    def full(self, x, src, dst, num_nodes: int):
+        valid = (src >= 0) & (dst >= 0)
+        ones = jnp.where(valid, 1.0, 0.0).astype(x.dtype)
+        safe_dst = jnp.where(valid, dst, num_nodes)
+        deg = jax.ops.segment_sum(ones, safe_dst, num_segments=num_nodes + 1)[
+            :num_nodes]
+        if self.add_self_loops:
+            deg = deg + 1
+        dinv = jax.lax.rsqrt(jnp.maximum(deg, 1))
+        w = jnp.where(
+            valid,
+            dinv[jnp.where(valid, src, 0)] * dinv[jnp.where(valid, dst, 0)],
+            0.0)
+        agg = segment_spmm(x, src, dst, num_nodes, reduce="sum", edge_weight=w)
+        if self.add_self_loops:
+            agg = agg + x[:num_nodes] * (dinv * dinv)[:, None]
+        return self.lin(agg)
+
+
+class GATConv(nn.Module):
+    """Graph attention (GATv1) with multi-head attention.
+
+    Sampled path scores edges with the SDDMM pattern
+    (a_l^T W x_dst + a_r^T W x_src) per head, softmax over the fanout
+    axis — per BASELINE.json config 3.
+    """
+
+    features: int          # per-head output features
+    heads: int = 1
+    concat: bool = True
+    negative_slope: float = 0.2
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        h, f = self.heads, self.features
+        self.lin = nn.Dense(h * f, use_bias=False, dtype=self.dtype, name="lin")
+        self.att_src = self.param(
+            "att_src", nn.initializers.glorot_uniform(), (1, h, f))
+        self.att_dst = self.param(
+            "att_dst", nn.initializers.glorot_uniform(), (1, h, f))
+        if self.use_bias:
+            out = h * f if self.concat else f
+            self.bias = self.param("bias", nn.initializers.zeros, (out,))
+
+    def _out(self, agg):
+        # agg: (S, H, F)
+        s = agg.shape[0]
+        if self.concat:
+            out = agg.reshape(s, self.heads * self.features)
+        else:
+            out = jnp.mean(agg, axis=1)
+        if self.use_bias:
+            out = out + self.bias
+        return out
+
+    def __call__(self, x_dst, x_neigh, mask):
+        s, k, _ = x_neigh.shape
+        h, f = self.heads, self.features
+        wd = self.lin(x_dst).reshape(s, h, f)
+        wn = self.lin(x_neigh).reshape(s, k, h, f)
+        a_d = jnp.sum(wd * self.att_dst[0][None], axis=-1)           # (S, H)
+        a_n = jnp.sum(wn * self.att_src[0][None, None], axis=-1)     # (S, k, H)
+        e = nn.leaky_relu(a_d[:, None, :] + a_n, self.negative_slope)
+        e = jnp.where(mask[..., None], e, -jnp.inf)
+        # softmax over fanout axis per head
+        alpha = fanout_attention_softmax(
+            e.transpose(0, 2, 1).reshape(s * h, k),
+            jnp.repeat(mask, h, axis=0).reshape(s * h, k),
+        ).reshape(s, h, k).transpose(0, 2, 1)                        # (S, k, H)
+        agg = jnp.einsum("skh,skhf->shf", alpha, wn,
+                         preferred_element_type=jnp.float32).astype(wn.dtype)
+        return self._out(agg)
+
+    def full(self, x, src, dst, num_nodes: int):
+        from cugraph_gnn_tpu.ops.sddmm import coo_edge_softmax
+        h, f = self.heads, self.features
+        wx = self.lin(x).reshape(x.shape[0], h, f)
+        valid = (src >= 0) & (dst >= 0)
+        s_safe = jnp.where(valid, src, 0)
+        d_safe = jnp.where(valid, dst, 0)
+        a_n = jnp.sum(wx * self.att_src[0][None], axis=-1)  # (N, H)
+        a_d = jnp.sum(wx * self.att_dst[0][None], axis=-1)
+        e = nn.leaky_relu(a_d[d_safe] + a_n[s_safe], self.negative_slope)  # (E, H)
+        aggs = []
+        for head in range(h):
+            eh = jnp.where(valid, e[:, head], -jnp.inf)
+            alpha = coo_edge_softmax(eh, jnp.where(valid, dst, -1), num_nodes)
+            aggs.append(segment_spmm(
+                wx[:, head, :], src, dst, num_nodes, reduce="sum",
+                edge_weight=alpha))
+        agg = jnp.stack(aggs, axis=1)  # (N, H, F)
+        return self._out(agg)
+
+
+class RGCNConv(nn.Module):
+    """Relational GCN: per-relation transforms + root transform
+    (per BASELINE.json config 4; PyG RGCNConv semantics, mean aggr per
+    relation).
+
+    Sampled hetero path: one fixed-fanout block per relation.
+    """
+
+    features: int
+    num_relations: int
+    aggr: str = "mean"
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        self.lin_root = nn.Dense(self.features, use_bias=self.use_bias,
+                                 dtype=self.dtype, name="lin_root")
+        self.lin_rel = [
+            nn.Dense(self.features, use_bias=False, dtype=self.dtype,
+                     name=f"lin_rel_{r}")
+            for r in range(self.num_relations)
+        ]
+
+    def __call__(self, x_dst, rel_neigh):
+        """rel_neigh: sequence over relations of (x_neigh (S,k,F), mask)
+        tuples (None for relations absent from the batch)."""
+        out = self.lin_root(x_dst)
+        for r, blk in enumerate(rel_neigh):
+            if blk is None:
+                continue
+            x_neigh, mask = blk
+            agg = fanout_aggregate(x_neigh, mask, self.aggr)
+            out = out + self.lin_rel[r](agg)
+        return out
+
+    def full(self, x, src, dst, edge_type, num_nodes: int):
+        out = self.lin_root(x[:num_nodes])
+        for r in range(self.num_relations):
+            sel = edge_type == r
+            s_r = jnp.where(sel, src, -1)
+            d_r = jnp.where(sel, dst, -1)
+            agg = segment_spmm(x, s_r, d_r, num_nodes, reduce=self.aggr)
+            out = out + self.lin_rel[r](agg)
+        return out

@@ -1,0 +1,145 @@
+"""Model zoo: GraphSAGE / GCN / GAT / RGCN over sampled multihop batches
+and full graphs (flax.linen).
+
+These cover BASELINE.json configs 1-4.  The reference gets these models
+from PyG (ref cugraph_pyg/examples/gcn_dist_mnmg.py model setup); here
+they are native, consuming the TPU-first MultihopBatch layout.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cugraph_gnn_tpu.models.conv import GATConv, GCNConv, RGCNConv, SAGEConv
+from cugraph_gnn_tpu.sampler.output import MultihopBatch
+
+
+def _gather_neigh(h_src, neigh_local):
+    """Gather neighbor features from the next level's activation array;
+    -1 indices are padding (mask applied by the conv)."""
+    safe = jnp.where(neigh_local >= 0, neigh_local, 0)
+    return h_src[safe]
+
+
+class MultihopModel(nn.Module):
+    """Shared driver: run `convs` input-side-first over a MultihopBatch.
+
+    Subclasses define ``make_convs``.  Activation arrays shrink level by
+    level; levels[l] is a prefix of levels[l+1] so x_dst is a slice.
+    """
+
+    hidden_features: int = 256
+    out_features: int = 64
+    num_layers: int = 2
+    dropout: float = 0.0
+
+    def make_convs(self) -> Sequence[nn.Module]:
+        raise NotImplementedError
+
+    def setup(self):
+        self.convs = self.make_convs()
+
+    def __call__(self, x_input, batch: MultihopBatch, *, train: bool = False):
+        h = x_input
+        num_hops = batch.num_hops
+        assert num_hops == self.num_layers, (num_hops, self.num_layers)
+        for li in range(num_hops - 1, -1, -1):
+            conv = self.convs[num_hops - 1 - li]
+            hop = batch.hops[li]
+            s_l = hop.neigh_local.shape[0]
+            x_dst = h[:s_l]
+            x_neigh = _gather_neigh(h, hop.neigh_local)
+            h = conv(x_dst, x_neigh, hop.mask)
+            if li != 0:
+                h = nn.relu(h)
+                if self.dropout > 0:
+                    h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        return h
+
+    def full(self, x, src, dst, num_nodes: int, *, train: bool = False):
+        h = x
+        for i, conv in enumerate(self.convs):
+            h = conv.full(h, src, dst, num_nodes)
+            if i != len(self.convs) - 1:
+                h = nn.relu(h)
+                if self.dropout > 0:
+                    h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        return h
+
+
+class GraphSAGE(MultihopModel):
+    aggr: str = "mean"
+
+    def make_convs(self):
+        dims = [self.hidden_features] * (self.num_layers - 1) + [self.out_features]
+        return [SAGEConv(d, aggr=self.aggr, name=f"conv_{i}")
+                for i, d in enumerate(dims)]
+
+
+class GCN(MultihopModel):
+    def make_convs(self):
+        dims = [self.hidden_features] * (self.num_layers - 1) + [self.out_features]
+        return [GCNConv(d, name=f"conv_{i}") for i, d in enumerate(dims)]
+
+
+class GAT(MultihopModel):
+    heads: int = 4
+
+    def make_convs(self):
+        convs = []
+        for i in range(self.num_layers):
+            last = i == self.num_layers - 1
+            convs.append(GATConv(
+                self.out_features if last else self.hidden_features // self.heads,
+                heads=1 if last else self.heads,
+                concat=not last,
+                name=f"conv_{i}"))
+        return convs
+
+
+class RGCN(nn.Module):
+    """Heterogeneous R-GCN over per-relation fixed-fanout blocks
+    (BASELINE.json config 4)."""
+
+    num_relations: int = 2
+    hidden_features: int = 64
+    out_features: int = 16
+    num_layers: int = 2
+
+    def setup(self):
+        dims = [self.hidden_features] * (self.num_layers - 1) + [self.out_features]
+        self.convs = [
+            RGCNConv(d, num_relations=self.num_relations, name=f"conv_{i}")
+            for i, d in enumerate(dims)
+        ]
+
+    def __call__(self, x_input, rel_batches):
+        """rel_batches: list over layers (input-side first... output-side
+        order matches convs) of per-relation [(neigh_local, mask) | None]
+        plus the dst slice size; see sampler.hetero for construction."""
+        h = x_input
+        for conv, (s_l, rel_blocks) in zip(self.convs, rel_batches):
+            x_dst = h[:s_l]
+            blocks = []
+            for blk in rel_blocks:
+                if blk is None:
+                    blocks.append(None)
+                else:
+                    neigh_local, mask = blk
+                    blocks.append((_gather_neigh(h, neigh_local), mask))
+            h = conv(x_dst, blocks)
+            if conv is not self.convs[-1]:
+                h = nn.relu(h)
+        return h
+
+    def full(self, x, src, dst, edge_type, num_nodes: int):
+        h = x
+        for i, conv in enumerate(self.convs):
+            h = conv.full(h, src, dst, edge_type, num_nodes)
+            if i != len(self.convs) - 1:
+                h = nn.relu(h)
+        return h

@@ -1,0 +1,138 @@
+"""Heterogeneous multi-hop neighbor sampling (per-edge-type fanouts).
+
+Replaces the reference's heterogeneous bulk sampler variants
+(ref cugraph_pyg/sampler/distributed_sampler.py:53-94 heterogeneous_*
+dispatch; hetero fanout dict flattening ref neighbor_loader.py:192-201).
+
+Nodes live in one renumbered global id space (per-type offsets from
+data/graph_store.py); each edge type has its own reversed CSR and its
+own fanout schedule.  A hop samples every edge type for the current
+frontier and append-uniques the union — yielding one node level shared
+by all types plus per-type fixed-fanout HopBlocks (what RGCNConv
+consumes).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+
+from cugraph_gnn_tpu.ops import sample as sample_ops
+from cugraph_gnn_tpu.ops.unique import append_unique
+from cugraph_gnn_tpu.sampler.output import HopBlock
+
+
+class HeteroMultihopBatch(NamedTuple):
+    levels: List[jax.Array]
+    level_counts: List[jax.Array]
+    hops: List[Dict[str, HopBlock]]   # per hop: edge-type-str -> block
+    seed_count: jax.Array
+
+    @property
+    def num_hops(self) -> int:
+        return len(self.hops)
+
+    @property
+    def input_nodes(self):
+        return self.levels[-1]
+
+
+jax.tree_util.register_pytree_node(
+    HeteroMultihopBatch,
+    lambda b: ((b.levels, b.level_counts, b.hops, b.seed_count), None),
+    lambda _, c: HeteroMultihopBatch(*c),
+)
+
+
+def _etype_str(et) -> str:
+    return "__".join(et) if isinstance(et, tuple) else str(et)
+
+
+class HeteroNeighborSampler:
+    """graph: data.graph_store.SamplingGraph.  fanouts: list (shared by
+    all edge types) or dict {edge_type: list} (PyG fanout-dict semantics,
+    ref neighbor_loader.py:192-201)."""
+
+    def __init__(self, graph, fanouts: Union[Sequence[int], Dict]):
+        self.graph = graph
+        self.etypes = list(graph.etypes)
+        if isinstance(fanouts, dict):
+            norm = { _etype_str(k): [int(x) for x in v]
+                     for k, v in fanouts.items() }
+            self.fanouts = {
+                _etype_str(et): norm.get(_etype_str(et))
+                for et in self.etypes
+            }
+            lens = {len(v) for v in self.fanouts.values() if v is not None}
+            assert len(lens) == 1, "all edge types need equal hop count"
+            self.num_hops = lens.pop()
+        else:
+            f = [int(x) for x in fanouts]
+            self.fanouts = {_etype_str(et): f for et in self.etypes}
+            self.num_hops = len(f)
+        self._sample_jit = jax.jit(self._sample, static_argnames=("batch_size",))
+
+    def _level_caps(self, batch_size: int) -> List[int]:
+        caps = [batch_size]
+        for h in range(self.num_hops):
+            per_target = 1 + sum(
+                (self.fanouts[_etype_str(et)] or [0] * self.num_hops)[h]
+                for et in self.etypes)
+            caps.append(caps[-1] * per_target)
+        return caps
+
+    def _sample(self, key, seeds, node_times=None, *, batch_size: int):
+        del node_times  # temporal hetero: future work
+        caps = self._level_caps(batch_size)
+        levels = [seeds.astype(jnp.int32)]
+        level_counts = [jnp.sum(seeds >= 0).astype(jnp.int32)]
+        hops: List[Dict[str, HopBlock]] = []
+        for h in range(self.num_hops):
+            targets = levels[-1]
+            valid_seed = targets >= 0
+            safe = jnp.where(valid_seed, targets, 0)
+            per_type_out = {}
+            all_neighbors = []
+            for ei, et in enumerate(self.etypes):
+                ename = _etype_str(et)
+                fan = self.fanouts[ename]
+                if fan is None or fan[h] <= 0:
+                    continue
+                indptr, indices, edge_base = self.graph.csr_by_etype[et]
+                hkey = jax.random.fold_in(jax.random.fold_in(key, h), ei)
+                out = sample_ops.uniform_sample(
+                    hkey, indptr, indices, safe, fan[h])
+                vm = valid_seed[:, None]
+                neighbors = jnp.where(vm, out.neighbors, -1)
+                edge_ids = jnp.where(vm, out.edge_ids + edge_base, -1)
+                per_type_out[ename] = (neighbors, edge_ids)
+                all_neighbors.append(neighbors.reshape(-1))
+            flat = jnp.concatenate(all_neighbors) if all_neighbors else (
+                jnp.zeros((0,), jnp.int32))
+            uniq = append_unique(targets, flat, max_unique=caps[h + 1])
+            # split the neighbor map back per edge type
+            blocks = {}
+            off = 0
+            for et in self.etypes:
+                ename = _etype_str(et)
+                if ename not in per_type_out:
+                    continue
+                neighbors, edge_ids = per_type_out[ename]
+                n = neighbors.size
+                nl = uniq.neighbor_map[off: off + n].reshape(neighbors.shape)
+                off += n
+                blocks[ename] = HopBlock(
+                    neigh_local=nl, neigh_global=neighbors, edge_ids=edge_ids)
+            hops.append(blocks)
+            levels.append(uniq.unique_nodes)
+            level_counts.append(
+                jnp.sum(uniq.unique_nodes >= 0).astype(jnp.int32))
+        return HeteroMultihopBatch(
+            levels=levels, level_counts=level_counts, hops=hops,
+            seed_count=level_counts[0])
+
+    def sample(self, key, seeds, node_times=None) -> HeteroMultihopBatch:
+        return self._sample_jit(
+            key, seeds, node_times, batch_size=int(seeds.shape[0]))

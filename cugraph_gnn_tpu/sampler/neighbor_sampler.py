@@ -1,0 +1,173 @@
+"""Multi-hop neighbor sampling pipeline (jit-compiled, static shapes).
+
+Replaces the external pylibcugraph bulk samplers the reference calls
+(ref cugraph_pyg/sampler/distributed_sampler.py:53-94,345-426) and the
+WholeGraph-native multilayer loop
+(ref pylibwholegraph/torch/graph_structure.py:136-196) with one fused,
+jittable pipeline:
+
+    per hop: one-hop sample (ops/sample.py) -> append_unique renumber
+             (ops/unique.py) -> fixed-fanout HopBlock.
+
+All shapes are static: level l has capacity S_{l+1} = S_l * (k_l + 1)
+(each target plus its fanout), so the whole multi-hop sample compiles
+once per (batch_size, fanouts) and never re-traces — the analog of the
+reference's `local_seeds_per_call` fixed call groups.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cugraph_gnn_tpu.ops import sample as sample_ops
+from cugraph_gnn_tpu.ops.unique import append_unique
+from cugraph_gnn_tpu.sampler.output import HopBlock, MultihopBatch
+
+
+def level_capacities(batch_size: int, fanouts: Sequence[int]) -> List[int]:
+    """Static node-capacity bound per level: each target contributes
+    itself plus up to ``fanout`` neighbors."""
+    caps = [batch_size]
+    for k in fanouts:
+        caps.append(caps[-1] * (k + 1))
+    return caps
+
+
+class NeighborSampler:
+    """Uniform / weighted / temporal multi-hop sampler over a CSR graph.
+
+    Parameters
+    ----------
+    indptr, indices : device arrays (CSR; rows are *source* nodes whose
+        out-edges point to sampled neighbors — for message passing the
+        graph should be stored with edges reversed, as PyG does).
+    fanouts : neighbors per hop, seed-side first (PyG `num_neighbors`).
+    weights : optional per-edge weights -> biased sampling
+        (ref neighbor_loader.py:173-181 weight_attr).
+    edge_times / node_times : optional temporal attributes -> temporal
+        sampling (ref neighbor_loader.py:182-190 time_attr).
+    max_degree : static bound on any row degree (host-computed); only
+        needed for weighted/temporal paths (chunked top-k loop bound).
+    """
+
+    def __init__(self, indptr, indices, fanouts: Sequence[int], *,
+                 weights=None, edge_times=None, max_degree: Optional[int] = None,
+                 chunk: int = 256):
+        self.indptr = jnp.asarray(indptr)
+        self.indices = jnp.asarray(indices)
+        self.fanouts = tuple(int(f) for f in fanouts)
+        self.weights = None if weights is None else jnp.asarray(weights)
+        self.edge_times = None if edge_times is None else jnp.asarray(edge_times)
+        self.max_degree = max_degree
+        self.chunk = chunk
+        if (weights is not None or edge_times is not None) and max_degree is None:
+            raise ValueError("weighted/temporal sampling needs static max_degree")
+        self._sample_jit = jax.jit(
+            self._sample, static_argnames=("batch_size",))
+
+    # -- one hop ------------------------------------------------------------
+
+    def _one_hop(self, key, seeds, fanout, seed_time=None):
+        valid_seed = seeds >= 0
+        safe = jnp.where(valid_seed, seeds, 0)
+        if self.weights is not None:
+            tf = None
+            if self.edge_times is not None and seed_time is not None:
+                times = self.edge_times
+                tf = lambda eids: times[eids] <= seed_time[:, None]
+            out = sample_ops.weighted_sample(
+                key, self.indptr, self.indices, self.weights, safe, fanout,
+                max_degree=self.max_degree, time_filter=tf, chunk=self.chunk)
+        elif self.edge_times is not None and seed_time is not None:
+            times = self.edge_times
+            tf = lambda eids: times[eids] <= seed_time[:, None]
+            out = sample_ops.masked_uniform_sample(
+                key, self.indptr, self.indices, safe, fanout,
+                max_degree=self.max_degree, time_filter=tf, chunk=self.chunk)
+        else:
+            out = sample_ops.uniform_sample(
+                key, self.indptr, self.indices, safe, fanout)
+        # Mask out padded seeds entirely.
+        vm = valid_seed[:, None]
+        return sample_ops.SampleOutput(
+            jnp.where(vm, out.neighbors, -1),
+            jnp.where(vm, out.edge_ids, -1),
+            jnp.where(valid_seed, out.num_sampled, 0),
+        )
+
+    # -- multi-hop ----------------------------------------------------------
+
+    def _sample(self, key, seeds, node_times=None, *, batch_size: int):
+        caps = level_capacities(batch_size, self.fanouts)
+        levels = [seeds.astype(jnp.int32)]
+        level_counts = [jnp.sum(seeds >= 0).astype(jnp.int32)]
+        seed_time = node_times
+        hops: List[HopBlock] = []
+        for h, fanout in enumerate(self.fanouts):
+            hkey = jax.random.fold_in(key, h)
+            targets = levels[-1]
+            out = self._one_hop(hkey, targets, fanout, seed_time)
+            uniq = append_unique(
+                targets, out.neighbors.reshape(-1), max_unique=caps[h + 1])
+            neigh_local = uniq.neighbor_map.reshape(out.neighbors.shape)
+            hops.append(HopBlock(
+                neigh_local=neigh_local,
+                neigh_global=out.neighbors,
+                edge_ids=out.edge_ids,
+            ))
+            levels.append(uniq.unique_nodes)
+            level_counts.append(jnp.sum(uniq.unique_nodes >= 0).astype(jnp.int32))
+            if seed_time is not None:
+                # Sampled nodes inherit their seed's time (PyG temporal
+                # semantics, ref sampler_utils.py:213-311): propagate via
+                # min over incoming assignment; padded -> +inf handled by
+                # taking the target-prefix times and gathering for new.
+                big = jnp.asarray(jnp.iinfo(jnp.int32).max, seed_time.dtype)
+                times_full = jnp.full((caps[h + 1],), big, seed_time.dtype)
+                times_full = times_full.at[: targets.shape[0]].set(seed_time)
+                flat_loc = neigh_local.reshape(-1)
+                flat_t = jnp.repeat(seed_time, fanout)
+                ok = flat_loc >= 0
+                times_full = times_full.at[jnp.where(ok, flat_loc, caps[h + 1] - 1)].min(
+                    jnp.where(ok, flat_t, big))
+                seed_time = times_full
+        return MultihopBatch(
+            levels=levels,
+            level_counts=level_counts,
+            hops=hops,
+            seed_count=level_counts[0],
+        )
+
+    def sample(self, key, seeds, node_times=None) -> MultihopBatch:
+        """Sample a multihop batch for ``seeds`` (fixed-size, -1 padded).
+
+        Compiles once per seeds.shape; reuse the same batch size.
+        """
+        return self._sample_jit(
+            key, seeds, node_times, batch_size=int(seeds.shape[0]))
+
+
+# ---------------------------------------------------------------------------
+# Host reference (NumPy) for tests — mirrors the device pipeline hop by hop
+# using the same uniform draws (ref test strategy: SURVEY.md §4).
+# ---------------------------------------------------------------------------
+
+
+def uniform_sample_np(key, indptr, indices, seeds, fanout: int):
+    indptr = np.asarray(indptr)
+    indices = np.asarray(indices)
+    seeds = np.asarray(seeds)
+    valid = seeds >= 0
+    safe = np.where(valid, seeds, 0)
+    deg = np.where(valid, indptr[safe + 1] - indptr[safe], 0)
+    u = np.asarray(jax.random.uniform(key, (len(seeds), fanout)))
+    pos = sample_ops.floyd_positions_np(u, deg, fanout)
+    start = indptr[safe]
+    edge_ids = np.where(pos >= 0, start[:, None] + pos, -1)
+    neigh = np.where(pos >= 0, indices[np.clip(edge_ids, 0, None)], -1)
+    return neigh.astype(np.int64), edge_ids.astype(np.int64)

@@ -1,0 +1,114 @@
+"""Sampler output structures (static-shape, jit-carried).
+
+TPU-native replacement for the reference's SamplerOutput decoding
+(ref cugraph_pyg/sampler/sampler.py:171-740): instead of dynamically
+sized CSC/COO tensors, a sampled mini-batch is a pytree of fixed-shape
+arrays padded with -1.
+
+Layout ("multihop ELL"):
+
+- ``levels[0]`` = seed nodes; ``levels[l+1]`` = unique nodes discovered
+  by sampling neighbors of ``levels[l]`` (targets of level l are a
+  prefix of level l+1, mirroring the reference's append_unique
+  semantics, ref pylibwholegraph/torch/graph_structure.py:136-196).
+- ``hops[l]`` connects level ``l`` targets to their sampled neighbors as
+  **local indices into levels[l+1]** in a fixed-fanout (S_l, k_l) block.
+
+A 2-layer GNN then runs input-to-output:
+``h_{L-1} = conv(x[levels[L]], hops[L-1]) ... h_0 = conv(h_1, hops[0])``.
+
+Conversion helpers produce PyG-style COO (row/col/node/batch +
+num_sampled_nodes/num_sampled_edges) for API parity.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class HopBlock(NamedTuple):
+    """Fixed-fanout bipartite block between level l (targets) and
+    level l+1 (sources)."""
+
+    neigh_local: jax.Array   # (S_l, k_l) int32 index into levels[l+1], -1 pad
+    neigh_global: jax.Array  # (S_l, k_l) int32 global node ids, -1 pad
+    edge_ids: jax.Array      # (S_l, k_l) int32 global edge ids, -1 pad
+
+    @property
+    def mask(self):
+        return self.neigh_local >= 0
+
+
+class MultihopBatch(NamedTuple):
+    """A sampled mini-batch with L hops.
+
+    levels: list of (S_l,) global node id arrays, -1 padded; levels[0]
+      are the seeds.  levels[l] is a prefix of levels[l+1].
+    level_counts: list of () int32 — valid node count per level.
+    hops: list of L HopBlocks, hops[l] between levels[l] and levels[l+1].
+    seed_count: () int32 number of valid seeds.
+    """
+
+    levels: List[jax.Array]
+    level_counts: List[jax.Array]
+    hops: List[HopBlock]
+    seed_count: jax.Array
+
+    @property
+    def num_hops(self) -> int:
+        return len(self.hops)
+
+    @property
+    def input_nodes(self):
+        """Deepest level — the nodes whose features must be gathered."""
+        return self.levels[-1]
+
+
+jax.tree_util.register_pytree_node(
+    MultihopBatch,
+    lambda b: ((b.levels, b.level_counts, b.hops, b.seed_count), None),
+    lambda _, c: MultihopBatch(*c),
+)
+
+
+class COOSample(NamedTuple):
+    """PyG-style flattened sample (ref cugraph_pyg/sampler/sampler.py COO
+    decoder :642-730): renumbered edges over the unique node list."""
+
+    node: jax.Array            # (N,) global node ids, -1 pad
+    row: jax.Array             # (E,) local dst index (PyG row = dst of message)
+    col: jax.Array             # (E,) local src index
+    edge: jax.Array            # (E,) global edge ids
+    num_sampled_nodes: jax.Array  # (L+1,) nodes discovered per hop level
+    num_sampled_edges: jax.Array  # (L,) valid edges per hop
+
+
+def to_coo(batch: MultihopBatch) -> COOSample:
+    """Flatten a MultihopBatch into PyG-style COO with per-hop counts."""
+    node = batch.levels[-1]
+    rows, cols, edges, n_edges = [], [], [], []
+    for hop in batch.hops:
+        s, k = hop.neigh_local.shape
+        dst_local = jnp.broadcast_to(
+            jnp.arange(s, dtype=jnp.int32)[:, None], (s, k))
+        m = hop.mask
+        rows.append(jnp.where(m, dst_local, -1).reshape(-1))
+        cols.append(jnp.where(m, hop.neigh_local, -1).reshape(-1))
+        edges.append(jnp.where(m, hop.edge_ids, -1).reshape(-1))
+        n_edges.append(jnp.sum(m).astype(jnp.int32))
+    counts = [batch.level_counts[0]] + [
+        batch.level_counts[i + 1] - batch.level_counts[i]
+        for i in range(len(batch.hops))
+    ]
+    return COOSample(
+        node=node,
+        row=jnp.concatenate(rows),
+        col=jnp.concatenate(cols),
+        edge=jnp.concatenate(edges),
+        num_sampled_nodes=jnp.stack(counts),
+        num_sampled_edges=jnp.stack(n_edges),
+    )

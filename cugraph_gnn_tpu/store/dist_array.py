@@ -1,0 +1,308 @@
+"""DistArray / sharded feature store over a device mesh.
+
+TPU-native WholeMemory equivalent (ref cpp/src/wholememory/memory_handle.cpp,
+wholememory_tensor.cpp; python API ref cugraph_pyg/tensor/dist_tensor.py):
+a 2-D array row-partitioned over a mesh axis with an explicit
+:class:`PartitionBook`, plus the distributed gather/scatter that is the
+reference's hot path (ref gather_op_impl_nccl.cu:89-157:
+bucket -> alltoallv ids -> local gather -> alltoallv rows -> restore order).
+
+On TPU the exchange is `jax.lax.ragged_all_to_all` inside `shard_map`
+(actual-size transfers over ICI/DCN) with a dense `all_to_all` fallback;
+the local gather is an XLA gather (Pallas variant in ops/pallas/).
+
+The reference's memory "types" (continuous/chunked/distributed/hierarchy)
+collapse here: intra-chip = plain HBM array; cross-chip = collectives
+(no peer mapping exists on TPU, SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cugraph_gnn_tpu.parallel.mesh import STORE_AXIS
+from cugraph_gnn_tpu.store.partition import PartitionBook
+
+
+# ---------------------------------------------------------------------------
+# Per-shard (inside shard_map) exchange routines
+# ---------------------------------------------------------------------------
+
+
+def _bucket_by_owner(ids, book: PartitionBook):
+    """Sort local query ids by owner rank.  Returns (sorted_ids, perm,
+    counts, offsets).  ref functions/bucket_ids_func.cu:20-131 +
+    exchange_ids_nccl_func.cu:32-92 (cub radix sort + histogram)."""
+    world = book.world_size
+    owner = jnp.clip(book.owner_of(ids), 0, world - 1)
+    owner = jnp.where(ids >= 0, owner, world - 1)  # pad ids -> last bucket
+    perm = jnp.argsort(owner, stable=True)
+    sorted_ids = ids[perm]
+    counts = jnp.bincount(owner, length=world)
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]])
+    return sorted_ids, perm, counts, offsets
+
+
+def _use_ragged_a2a() -> bool:
+    """XLA:CPU has no ragged-all-to-all thunk; fall back to a dense
+    capacity-padded all_to_all there (tests run on the CPU backend)."""
+    return jax.default_backend() == "tpu"
+
+
+def alltoallv(data, send_offsets, send_sizes, recv_offsets, recv_sizes,
+              axis: str, out_len: int):
+    """Variable-size per-peer exchange (the alltoallv analog, ref
+    nccl_comms.hpp:138-160).  ``data`` holds per-peer chunks at
+    ``send_offsets``; output holds received chunks compacted at
+    ``recv_offsets``.  TPU: `lax.ragged_all_to_all` (actual-size
+    transfers over ICI).  Fallback: dense all_to_all padded to
+    capacity = len(data) per peer.
+    """
+    out_shape = (out_len,) + data.shape[1:]
+    if _use_ragged_a2a():
+        out = jnp.zeros(out_shape, data.dtype)
+        return jax.lax.ragged_all_to_all(
+            data, out,
+            send_offsets.astype(jnp.int32), send_sizes.astype(jnp.int32),
+            recv_offsets.astype(jnp.int32), recv_sizes.astype(jnp.int32),
+            axis_name=axis)
+    world = send_sizes.shape[0]
+    cap = data.shape[0]  # per-peer capacity bound
+    feat = data.shape[1:]
+    pos = jnp.arange(cap)
+    owner = jnp.clip(
+        jnp.searchsorted(send_offsets, pos, side="right") - 1, 0, world - 1)
+    within = pos - send_offsets[owner]
+    ok = within < send_sizes[owner]
+    slot = owner * cap + within
+    buf = jnp.zeros((world * cap,) + feat, data.dtype)
+    buf = buf.at[jnp.where(ok, slot, world * cap)].set(data, mode="drop")
+    recv = jax.lax.all_to_all(
+        buf.reshape((world, cap) + feat), axis, split_axis=0, concat_axis=0)
+    recv = recv.reshape((world * cap,) + feat)
+    src = jnp.arange(world * cap)
+    q, j = src // cap, src % cap
+    ok2 = j < recv_sizes[q]
+    target = recv_offsets[q] + j
+    out = jnp.zeros(out_shape, data.dtype)
+    return out.at[jnp.where(ok2, target, out_len)].set(recv, mode="drop")
+
+
+def _ragged_a2a(data, send_offsets, send_sizes, axis: str, out_len: int):
+    """alltoallv with receive geometry derived on the fly.  Returns
+    (received buffer, recv_sizes, recv_offsets)."""
+    # Receive geometry: transpose of the send-size matrix.
+    recv_sizes = jax.lax.all_to_all(
+        send_sizes[:, None], axis, split_axis=0, concat_axis=0)[:, 0]
+    recv_offsets = jnp.concatenate(
+        [jnp.zeros((1,), recv_sizes.dtype), jnp.cumsum(recv_sizes)[:-1]])
+    out = alltoallv(data, send_offsets, send_sizes, recv_offsets, recv_sizes,
+                    axis, out_len)
+    return out, recv_sizes, recv_offsets
+
+
+def _dist_gather_shard(table, ids, *, book: PartitionBook, axis: str, fill):
+    """Per-shard body of the distributed gather.
+
+    table: (shard_size, F) local rows.  ids: (B,) global ids (may be -1).
+    Returns (B, F) rows in original id order.
+    """
+    b = ids.shape[0]
+    world = book.world_size
+    shard_size = book.shard_size
+    sorted_ids, perm, counts, offsets = _bucket_by_owner(ids, book)
+    # 1) ship ids to owners (capacity: worst case every peer asks us for
+    #    its whole batch -> world * b).
+    req_ids, recv_sizes, recv_offsets = _ragged_a2a(
+        sorted_ids, offsets, counts, axis, world * b)
+    # 2) local gather (negative/out-of-range -> fill row); positions not
+    #    covered by recv_sizes hold garbage but are never shipped back.
+    my_rank = jax.lax.axis_index(axis)
+    row_start = jnp.asarray(book.offsets[:-1])[my_rank]
+    my_count = jnp.asarray(book.counts)[my_rank]
+    local = req_ids - row_start
+    ok = (req_ids >= 0) & (local >= 0) & (local < my_count)
+    rows = table[jnp.where(ok, local, 0)]
+    rows = jnp.where(ok[:, None], rows, jnp.asarray(fill, rows.dtype))
+    # 3) ship rows back: reverse geometry of step 1.
+    back = alltoallv(rows, recv_offsets, recv_sizes, offsets, counts,
+                     axis, b)
+    # 4) restore original order (ref gather_op_impl_nccl.cu final scatter).
+    inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(b))
+    return back[inv]
+
+
+def _dist_scatter_shard(table, ids, values, *, book: PartitionBook,
+                        axis: str, mode: str):
+    """Per-shard distributed scatter / scatter-add
+    (ref scatter_op_impl_nccl.cu).  Returns updated local table."""
+    b = ids.shape[0]
+    world = book.world_size
+    sorted_ids, perm, counts, offsets = _bucket_by_owner(ids, book)
+    sorted_vals = values[perm]
+    req_ids, recv_sizes, recv_offsets = _ragged_a2a(
+        sorted_ids, offsets, counts, axis, world * b)
+    req_vals, _, _ = _ragged_a2a(
+        sorted_vals, offsets, counts, axis, world * b)
+    my_rank = jax.lax.axis_index(axis)
+    row_start = jnp.asarray(book.offsets[:-1])[my_rank]
+    my_count = jnp.asarray(book.counts)[my_rank]
+    local = req_ids - row_start
+    # Positions beyond the received total hold stale ids from the output
+    # buffer fill; mask them by position.
+    total_recv = jnp.sum(recv_sizes)
+    pos = jnp.arange(world * b)
+    ok = (pos < total_recv) & (req_ids >= 0) & (local >= 0) & (local < my_count)
+    safe = jnp.where(ok, local, book.shard_size)  # overflow row -> dropped
+    if mode == "set":
+        return table.at[safe].set(req_vals.astype(table.dtype), mode="drop")
+    if mode == "add":
+        vals = jnp.where(ok[:, None], req_vals.astype(table.dtype), 0)
+        return table.at[safe].add(vals, mode="drop")
+    raise ValueError(mode)
+
+
+# ---------------------------------------------------------------------------
+# DistArray
+# ---------------------------------------------------------------------------
+
+
+class DistArray:
+    """Row-partitioned 2-D array over a mesh axis (WholeMemory tensor /
+    cugraph-pyg DistTensor equivalent, ref tensor/dist_tensor.py:20-535).
+
+    The underlying array has padded shape (world*shard_size, F) with
+    NamedSharding P(axis) so XLA lays one shard per device.
+    """
+
+    def __init__(self, data: jax.Array, book: PartitionBook, mesh: Mesh,
+                 axis: str = STORE_AXIS):
+        self.data = data
+        self.book = book
+        self.mesh = mesh
+        self.axis = axis
+
+    # -- constructors -------------------------------------------------------
+
+    @staticmethod
+    def create(shape, dtype, mesh: Mesh, axis: str = STORE_AXIS,
+               book: Optional[PartitionBook] = None) -> "DistArray":
+        total, *feat = shape
+        world = mesh.shape[axis]
+        book = book or PartitionBook.even(total, world)
+        padded = (book.padded_total, *feat)
+        sharding = NamedSharding(mesh, P(axis))
+        data = jax.jit(
+            lambda: jnp.zeros(padded, dtype), out_shardings=sharding)()
+        return DistArray(data, book, mesh, axis)
+
+    @staticmethod
+    def from_array(host_array, mesh: Mesh, axis: str = STORE_AXIS,
+                   book: Optional[PartitionBook] = None,
+                   dtype=None) -> "DistArray":
+        """Build from a host (replicated) array: pad + device_put with row
+        sharding.  ref DistTensor.from_tensor / load paths."""
+        host_array = np.asarray(host_array)
+        if dtype is not None:
+            host_array = host_array.astype(dtype)
+        total = host_array.shape[0]
+        world = mesh.shape[axis]
+        book = book or PartitionBook.even(total, world)
+        # Padded layout: rank r's logical rows live at
+        # [r*shard_size, r*shard_size + counts[r]).
+        padded = np.zeros((book.padded_total, *host_array.shape[1:]),
+                          host_array.dtype)
+        for r in range(world):
+            lo, hi = int(book.offsets[r]), int(book.offsets[r + 1])
+            padded[r * book.shard_size: r * book.shard_size + (hi - lo)] = (
+                host_array[lo:hi])
+        sharding = NamedSharding(mesh, P(axis))
+        return DistArray(jax.device_put(padded, sharding), book, mesh, axis)
+
+    # -- properties ---------------------------------------------------------
+
+    @property
+    def shape(self):
+        return (self.book.total,) + self.data.shape[1:]
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def world(self) -> int:
+        return self.mesh.shape[self.axis]
+
+    def local_shard(self, rank: int):
+        """Logical rows owned by ``rank`` (unpadded)."""
+        n = int(self.book.counts[rank])
+        start = rank * self.book.shard_size
+        return self.data[start:start + n]
+
+    # -- distributed ops ----------------------------------------------------
+
+    def _pad_batch(self, ids, *arrays):
+        """Pad the query batch to a multiple of the mesh axis size (pad
+        ids are -1 and ignored by the shard kernels)."""
+        w = self.world
+        b = ids.shape[0]
+        rem = (-b) % w
+        if rem == 0:
+            return (b, ids) + arrays
+        ids = jnp.concatenate([ids, jnp.full((rem,), -1, ids.dtype)])
+        out = [jnp.concatenate(
+            [a, jnp.zeros((rem,) + a.shape[1:], a.dtype)]) for a in arrays]
+        return (b, ids) + tuple(out)
+
+    def gather(self, ids, fill=0):
+        """rows = self[ids] with cross-shard exchange.  ``ids`` is sharded
+        over ``axis`` (each rank queries its slice); output sharding
+        matches ids.
+        """
+        b, ids = self._pad_batch(ids)
+        f = functools.partial(
+            _dist_gather_shard, book=self.book, axis=self.axis, fill=fill)
+        shard = jax.shard_map(
+            f, mesh=self.mesh,
+            in_specs=(P(self.axis), P(self.axis)),
+            out_specs=P(self.axis))
+        return shard(self.data, ids)[:b]
+
+    def scatter(self, ids, values):
+        """self[ids] = values (cross-shard); updates the stored array
+        functionally."""
+        _, ids, values = self._pad_batch(ids, values)
+        f = functools.partial(
+            _dist_scatter_shard, book=self.book, axis=self.axis, mode="set")
+        shard = jax.shard_map(
+            f, mesh=self.mesh,
+            in_specs=(P(self.axis), P(self.axis), P(self.axis)),
+            out_specs=P(self.axis))
+        self.data = shard(self.data, ids, values)
+
+    def scatter_add(self, ids, values):
+        _, ids, values = self._pad_batch(ids, values)
+        f = functools.partial(
+            _dist_scatter_shard, book=self.book, axis=self.axis, mode="add")
+        shard = jax.shard_map(
+            f, mesh=self.mesh,
+            in_specs=(P(self.axis), P(self.axis), P(self.axis)),
+            out_specs=P(self.axis))
+        self.data = shard(self.data, ids, values)
+
+    def to_global(self):
+        """Full (unpadded) array on host — test/debug helper."""
+        data = np.asarray(self.data)
+        parts = []
+        for r in range(self.world):
+            n = int(self.book.counts[r])
+            start = r * self.book.shard_size
+            parts.append(data[start:start + n])
+        return np.concatenate(parts) if parts else data[:0]

@@ -1,0 +1,132 @@
+"""Partition books: node-dim row partitioning of sharded arrays.
+
+TPU-native equivalent of WholeMemory's rank partitioning
+(ref cpp/src/wholememory/memory_handle.cpp rank partition plan and the
+custom ``rank_entry_partition`` in cpp/include/wholememory/wholememory.h:251-257,
+380-382).  A :class:`PartitionBook` maps a global row id to the mesh-axis
+index ("rank") that owns it and to the local offset within that shard.
+
+Two layouts are supported, mirroring the reference:
+
+- **even**: rank ``r`` owns rows ``[r*ceil(N/W), min((r+1)*ceil(N/W), N))``
+  (the reference's default partitioning); all shards padded to the same
+  physical size so the array shards evenly over the mesh axis.
+- **custom**: arbitrary per-rank entry counts (the reference's
+  ``rank_entry_partition``), realized here as explicit shard offsets.
+
+Everything is expressible both in NumPy (host planning) and jnp (inside
+jit), with static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def even_shard_size(total: int, world_size: int) -> int:
+    """Per-rank shard size for even partitioning (ceil division).
+
+    Matches the reference's default alloc granularity of equal partitions
+    (ref cpp/src/wholememory/memory_handle.cpp determine partition plan).
+    """
+    return -(-total // world_size)
+
+
+@dataclasses.dataclass(frozen=True)
+class PartitionBook:
+    """Maps global row ids -> (owner rank, local offset).
+
+    Attributes:
+      total: total number of global rows (unpadded).
+      world_size: number of shards along the mesh axis.
+      offsets: int64 array of shape (world_size + 1,): rank r owns global
+        rows [offsets[r], offsets[r+1]).  offsets[-1] == total.
+      shard_size: physical rows allocated per rank (>= max logical shard);
+        equal across ranks so the global padded array shape is
+        (world_size * shard_size, ...).
+    """
+
+    total: int
+    world_size: int
+    offsets: np.ndarray
+    shard_size: int
+
+    @staticmethod
+    def even(total: int, world_size: int) -> "PartitionBook":
+        size = even_shard_size(total, world_size)
+        offsets = np.minimum(np.arange(world_size + 1, dtype=np.int64) * size, total)
+        return PartitionBook(
+            total=total, world_size=world_size, offsets=offsets, shard_size=size
+        )
+
+    @staticmethod
+    def from_counts(counts: Sequence[int]) -> "PartitionBook":
+        """Custom partition (ref wholememory.h:380-382 rank_entry_partition)."""
+        counts = np.asarray(counts, dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        return PartitionBook(
+            total=int(offsets[-1]),
+            world_size=len(counts),
+            offsets=offsets,
+            shard_size=int(counts.max()) if len(counts) else 0,
+        )
+
+    @property
+    def is_even(self) -> bool:
+        size = self.shard_size
+        expect = np.minimum(
+            np.arange(self.world_size + 1, dtype=np.int64) * size, self.total
+        )
+        return bool(np.array_equal(self.offsets, expect))
+
+    @property
+    def counts(self) -> np.ndarray:
+        return self.offsets[1:] - self.offsets[:-1]
+
+    @property
+    def padded_total(self) -> int:
+        return self.world_size * self.shard_size
+
+    # ---- traceable (jnp) queries -------------------------------------------
+
+    def owner_of(self, ids):
+        """Owner rank for each global id; jit-safe.
+
+        Even layout uses a division (ref bucket_ids_func.cu:21-38 uses an
+        estimated-rank probe; on TPU a straight div or a small
+        searchsorted both vectorize fine).
+        """
+        if self.is_even:
+            return jnp.asarray(ids) // self.shard_size
+        offs = jnp.asarray(self.offsets[1:-1])
+        return jnp.searchsorted(offs, jnp.asarray(ids), side="right").astype(jnp.int32)
+
+    def local_offset(self, ids, owner=None):
+        """Local row offset within the owner's shard; jit-safe."""
+        ids = jnp.asarray(ids)
+        if owner is None:
+            owner = self.owner_of(ids)
+        if self.is_even:
+            return ids - owner * self.shard_size
+        starts = jnp.asarray(self.offsets[:-1])[owner]
+        return ids - starts
+
+    def to_padded(self, ids, owner=None):
+        """Global id -> row index in the padded (world*shard_size) layout."""
+        ids = jnp.asarray(ids)
+        if self.is_even:
+            return ids
+        if owner is None:
+            owner = self.owner_of(ids)
+        return owner * self.shard_size + self.local_offset(ids, owner)
+
+    # ---- host (numpy) queries ----------------------------------------------
+
+    def owner_of_np(self, ids: np.ndarray) -> np.ndarray:
+        if self.is_even:
+            return np.asarray(ids) // self.shard_size
+        return np.searchsorted(self.offsets[1:-1], np.asarray(ids), side="right")
