@@ -1,0 +1,160 @@
+"""LinkLoader / LinkNeighborLoader: edge-seeded loaders for link
+prediction.
+
+ref cugraph_pyg/loader/link_loader.py:17-230 and
+link_neighbor_loader.py:20-239 — edge-seeded equivalents of the node
+loaders with binary/triplet negative sampling.
+
+TPU redesign: a batch of B positive edges (+ N negatives) yields a
+fixed seed layout so one compiled program serves every step:
+
+    seeds = [pos_src (B) | pos_dst (B) | neg_src (N) | neg_dst (N)]
+
+``edge_label_index`` points at these fixed positions (duplicated seed
+nodes are NOT deduplicated — static shapes beat the reference's
+per-batch sort+unique_consecutive, ref distributed_sampler.py:428-724;
+the sampler handles duplicate seeds fine).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cugraph_gnn_tpu.data.feature_store import FeatureStore
+from cugraph_gnn_tpu.data.graph_store import GraphStore
+from cugraph_gnn_tpu.sampler.negative import (
+    NegativeSampling,
+    make_edge_key_sorted,
+    sample_negative_edges,
+)
+
+
+@dataclasses.dataclass
+class LinkBatch:
+    """One link-prediction batch."""
+
+    sample: object                 # MultihopBatch over the seed layout
+    x: Optional[jax.Array]
+    edge_label_index: jax.Array    # (2, B+N) local indices into seeds
+    edge_label: jax.Array          # (B+N,) 1 for positive, 0 for negative
+    seeds: jax.Array               # (2B+2N,)
+    input_id: jax.Array            # (B,) positions of the positive edges
+
+
+class LinkLoader:
+    """Edge-seeded loader (ref link_loader.py:17-230)."""
+
+    def __init__(self, data: Tuple[FeatureStore, GraphStore], sampler,
+                 edge_label_index, edge_label=None,
+                 neg_sampling: Optional[NegativeSampling] = None,
+                 batch_size: int = 512, shuffle: bool = False,
+                 drop_last: bool = False, x_attr: str = "x",
+                 reject_true_edges: bool = False, seed: int = 0):
+        self.feature_store, self.graph_store = data
+        self.sampler = sampler
+        eli = np.asarray(edge_label_index)
+        self.pos_src = eli[0].astype(np.int64)
+        self.pos_dst = eli[1].astype(np.int64)
+        self.edge_label = (None if edge_label is None
+                           else np.asarray(edge_label))
+        self.neg = neg_sampling
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.x_attr = x_attr
+        self._epoch = 0
+        self._base_key = jax.random.PRNGKey(seed)
+        n = self.graph_store.num_nodes()
+        self.num_nodes = n
+        self._edge_key_sorted = None
+        if reject_true_edges:
+            self._edge_key_sorted = make_edge_key_sorted(
+                self.pos_src, self.pos_dst, n)
+
+    def __len__(self):
+        n = len(self.pos_src)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    @property
+    def _num_neg(self) -> int:
+        if self.neg is None:
+            return 0
+        return int(self.batch_size * self.neg.amount)
+
+    def __iter__(self) -> Iterator[LinkBatch]:
+        order = np.arange(len(self.pos_src))
+        if self.shuffle:
+            np.random.default_rng(self._epoch + 999).shuffle(order)
+        key = jax.random.fold_in(self._base_key, self._epoch)
+        self._epoch += 1
+        b = self.batch_size
+        n_neg = self._num_neg
+        for i in range(len(self)):
+            sel = order[i * b: (i + 1) * b]
+            ps = np.full((b,), -1, np.int64)
+            pd = np.full((b,), -1, np.int64)
+            ps[: len(sel)] = self.pos_src[sel]
+            pd[: len(sel)] = self.pos_dst[sel]
+            input_id = np.full((b,), -1, np.int64)
+            input_id[: len(sel)] = sel
+            kk = jax.random.fold_in(key, i)
+            if n_neg:
+                ns, nd = sample_negative_edges(
+                    jax.random.fold_in(kk, 1), self.num_nodes,
+                    self.num_nodes, n_neg, self.neg,
+                    self._edge_key_sorted)
+            else:
+                ns = jnp.zeros((0,), jnp.int32)
+                nd = jnp.zeros((0,), jnp.int32)
+            seeds = jnp.concatenate([
+                jnp.asarray(ps, jnp.int32), jnp.asarray(pd, jnp.int32),
+                ns.astype(jnp.int32), nd.astype(jnp.int32)])
+            sample = self.sampler.sample(jax.random.fold_in(kk, 2), seeds)
+            # local positions in the seed layout
+            pos_idx = jnp.stack([
+                jnp.arange(b, dtype=jnp.int32),
+                jnp.arange(b, dtype=jnp.int32) + b])
+            neg_idx = jnp.stack([
+                jnp.arange(n_neg, dtype=jnp.int32) + 2 * b,
+                jnp.arange(n_neg, dtype=jnp.int32) + 2 * b + n_neg])
+            eli = jnp.concatenate([pos_idx, neg_idx], axis=1)
+            pos_lab = (jnp.asarray(ps) >= 0).astype(jnp.float32)
+            if self.edge_label is not None:
+                lab = np.zeros((b,), np.float32)
+                lab[: len(sel)] = self.edge_label[sel]
+                pos_lab = jnp.asarray(lab) * pos_lab
+            neg_lab = jnp.zeros((n_neg,), jnp.float32)
+            x = None
+            if ("", self.x_attr) in self.feature_store:
+                x = self.feature_store.get_tensor(
+                    "", self.x_attr, ids=sample.input_nodes)
+            yield LinkBatch(
+                sample=sample, x=x, edge_label_index=eli,
+                edge_label=jnp.concatenate([pos_lab, neg_lab]),
+                seeds=seeds, input_id=jnp.asarray(input_id))
+
+
+class LinkNeighborLoader(LinkLoader):
+    """Builds the neighbor sampler from the graph store
+    (ref link_neighbor_loader.py:20-239)."""
+
+    def __init__(self, data: Tuple[FeatureStore, GraphStore],
+                 num_neighbors, edge_label_index, edge_label=None,
+                 neg_sampling=None, batch_size: int = 512, **kwargs):
+        from cugraph_gnn_tpu.sampler.neighbor_sampler import NeighborSampler
+        feature_store, graph_store = data
+        graph = graph_store.finalize()
+        indptr, indices = graph.homogeneous_csr()
+        sampler = NeighborSampler(indptr, indices, num_neighbors)
+        if isinstance(neg_sampling, str):
+            neg_sampling = NegativeSampling(mode=neg_sampling)
+        elif isinstance(neg_sampling, dict):
+            neg_sampling = NegativeSampling(**neg_sampling)
+        super().__init__(data, sampler, edge_label_index,
+                         edge_label=edge_label, neg_sampling=neg_sampling,
+                         batch_size=batch_size, **kwargs)
