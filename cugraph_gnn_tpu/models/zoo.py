@@ -118,11 +118,12 @@ class RGCN(nn.Module):
         ]
 
     def __call__(self, x_input, rel_batches):
-        """rel_batches: list over layers (input-side first... output-side
-        order matches convs) of per-relation [(neigh_local, mask) | None]
-        plus the dst slice size; see sampler.hetero for construction."""
+        """rel_batches: list over layers (output order matches convs) of
+        per-relation [(neigh_local, mask) | None] block lists; the dst
+        slice size is taken from the blocks' static shapes."""
         h = x_input
-        for conv, (s_l, rel_blocks) in zip(self.convs, rel_batches):
+        for conv, rel_blocks in zip(self.convs, rel_batches):
+            s_l = next(b[0].shape[0] for b in rel_blocks if b is not None)
             x_dst = h[:s_l]
             blocks = []
             for blk in rel_blocks:

@@ -76,14 +76,19 @@ def floyd_positions(u, degrees, fanout: int):
     s = u.shape[0]
     k = fanout
     d = degrees.astype(jnp.int32)
-    sel = jnp.full((s, k), -1, dtype=jnp.int32)
-    for i in range(k):
+
+    def body(i, sel):
         m = d - k + i  # (S,)
         t = jnp.floor(u[:, i] * (m + 1).astype(u.dtype)).astype(jnp.int32)
         t = jnp.clip(t, 0, jnp.maximum(m, 0))
         dup = jnp.any(sel == t[:, None], axis=1)
         pick = jnp.where(dup, m, t)
-        sel = sel.at[:, i].set(pick)
+        return jax.lax.dynamic_update_slice(sel, pick[:, None], (0, i))
+
+    # fori_loop (not an unrolled Python loop): keeps the XLA program size
+    # O(1) in fanout — compile time matters on big pipelines.
+    sel = jax.lax.fori_loop(
+        0, k, body, jnp.full((s, k), -1, dtype=jnp.int32))
     # Small-degree rows: take all neighbors in order, pad with -1.
     iota = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32), (s, k))
     small = iota < d[:, None]

@@ -106,7 +106,8 @@ class HeteroNeighborSampler:
                     hkey, indptr, indices, safe, fan[h])
                 vm = valid_seed[:, None]
                 neighbors = jnp.where(vm, out.neighbors, -1)
-                edge_ids = jnp.where(vm, out.edge_ids + edge_base, -1)
+                edge_ids = jnp.where(
+                    vm & (out.edge_ids >= 0), out.edge_ids + edge_base, -1)
                 per_type_out[ename] = (neighbors, edge_ids)
                 all_neighbors.append(neighbors.reshape(-1))
             flat = jnp.concatenate(all_neighbors) if all_neighbors else (

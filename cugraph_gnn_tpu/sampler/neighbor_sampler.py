@@ -38,6 +38,40 @@ def level_capacities(batch_size: int, fanouts: Sequence[int]) -> List[int]:
     return caps
 
 
+def multihop_uniform(key, indptr, indices, seeds, fanouts) -> MultihopBatch:
+    """Pure-functional uniform multi-hop sampling with *explicit* graph
+    arguments.  Use this form inside larger jitted steps: closing over
+    big device arrays embeds them as XLA constants (catastrophic compile
+    times); explicit args stay parameters.
+    """
+    fanouts = tuple(int(f) for f in fanouts)
+    caps = level_capacities(int(seeds.shape[0]), fanouts)
+    levels = [seeds.astype(jnp.int32)]
+    level_counts = [jnp.sum(seeds >= 0).astype(jnp.int32)]
+    hops: List[HopBlock] = []
+    for h, fanout in enumerate(fanouts):
+        hkey = jax.random.fold_in(key, h)
+        targets = levels[-1]
+        valid_seed = targets >= 0
+        safe = jnp.where(valid_seed, targets, 0)
+        out = sample_ops.uniform_sample(hkey, indptr, indices, safe, fanout)
+        vm = valid_seed[:, None]
+        out = sample_ops.SampleOutput(
+            jnp.where(vm, out.neighbors, -1),
+            jnp.where(vm, out.edge_ids, -1),
+            jnp.where(valid_seed, out.num_sampled, 0))
+        uniq = append_unique(
+            targets, out.neighbors.reshape(-1), max_unique=caps[h + 1])
+        hops.append(HopBlock(
+            neigh_local=uniq.neighbor_map.reshape(out.neighbors.shape),
+            neigh_global=out.neighbors,
+            edge_ids=out.edge_ids))
+        levels.append(uniq.unique_nodes)
+        level_counts.append(jnp.sum(uniq.unique_nodes >= 0).astype(jnp.int32))
+    return MultihopBatch(levels=levels, level_counts=level_counts,
+                         hops=hops, seed_count=level_counts[0])
+
+
 class NeighborSampler:
     """Uniform / weighted / temporal multi-hop sampler over a CSR graph.
 
