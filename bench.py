@@ -19,9 +19,12 @@ import numpy as np
 def log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
-# Round-1 pinned reference point (first measured value of this bench on
-# one TPU v5e chip).  Update only when the bench definition changes.
-BASELINE_EDGES_PER_S = 1.61e6
+# Round-1 pinned reference point: the end-of-round-1 measurement on one
+# TPU v5e chip (157M edges/s, 0.8 ms/iter full train step after fixing
+# trace-time device-constant embedding + in-loop readbacks).  Later
+# rounds' vs_baseline shows progress relative to this.  Update only when
+# the bench definition changes.
+BASELINE_EDGES_PER_S = 1.57e8
 
 # ogbn-products scale: 2.45M nodes, ~124M directed edges
 NUM_NODES = 2_449_029
@@ -32,7 +35,7 @@ CLASSES = 47
 BATCH = 1024
 FANOUTS = (10, 10)
 WARMUP = 3
-ITERS = 20
+ITERS = 200
 
 
 def main():
@@ -46,41 +49,56 @@ def main():
     from cugraph_gnn_tpu.sampler import NeighborSampler
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
-    t = time.perf_counter()
-    rng = np.random.default_rng(0)
-    # Build CSR directly (uniform random graph): row lengths ~ Binomial.
-    avg_deg = NUM_EDGES // NUM_NODES
-    deg = rng.poisson(avg_deg, NUM_NODES).astype(np.int64)
-    indptr = np.concatenate([[0], np.cumsum(deg)])
-    num_edges = int(indptr[-1])
-    indices = rng.integers(0, NUM_NODES, num_edges, dtype=np.int64)
-    log(f"graph built in {time.perf_counter()-t:.1f}s ({num_edges} edges)")
 
     from cugraph_gnn_tpu.sampler.neighbor_sampler import multihop_uniform
 
-    indptr_j = jnp.asarray(indptr, jnp.int32)
-    indices_j = jnp.asarray(indices, jnp.int32)
+    # Generate all data ON DEVICE: the host->device tunnel collapses to
+    # ~MB/s on GB-size transfers, so the bench graph/features are
+    # device-generated (constant-degree CSR of an ogbn-products-scale
+    # uniform random graph).
+    t = time.perf_counter()
+    avg_deg = NUM_EDGES // NUM_NODES
+    num_edges = NUM_NODES * avg_deg
 
-    feats = jnp.asarray(
-        rng.standard_normal((NUM_NODES, FEAT_DIM)).astype(np.float32))
-    labels = jnp.asarray(rng.integers(0, CLASSES, NUM_NODES, dtype=np.int64))
+    @jax.jit
+    def make_data():
+        indptr = jnp.arange(NUM_NODES + 1, dtype=jnp.int32) * avg_deg
+        indices = jax.random.randint(
+            jax.random.PRNGKey(0), (num_edges,), 0, NUM_NODES, jnp.int32)
+        feats = jax.random.normal(
+            jax.random.PRNGKey(1), (NUM_NODES, FEAT_DIM), jnp.float32)
+        labels = jax.random.randint(
+            jax.random.PRNGKey(2), (NUM_NODES,), 0, CLASSES, jnp.int32)
+        return indptr, indices, feats, labels
+
+    indptr_j, indices_j, feats, labels = jax.block_until_ready(make_data())
+    log(f"device data ready in {time.perf_counter()-t:.1f}s "
+        f"({num_edges} edges)")
 
     model = GraphSAGE(hidden_features=HIDDEN, out_features=CLASSES,
                       num_layers=len(FANOUTS))
     seeds0 = jnp.arange(BATCH, dtype=jnp.int32)
     t = time.perf_counter()
-    sample0 = jax.jit(multihop_uniform, static_argnames=("fanouts",))(
-        jax.random.PRNGKey(0), indptr_j, indices_j, seeds0, fanouts=FANOUTS)
+    sample0 = jax.block_until_ready(jax.jit(
+        multihop_uniform, static_argnames=("fanouts", "dedup"))(
+        jax.random.PRNGKey(0), indptr_j, indices_j, seeds0, fanouts=FANOUTS,
+        dedup=False))
+    log(f"sampler compile+run in {time.perf_counter()-t:.1f}s")
+    t = time.perf_counter()
     x0 = feats[jnp.clip(sample0.input_nodes, 0)]
     params = model.init(jax.random.PRNGKey(1), x0, sample0)
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
-    log(f"init done in {time.perf_counter()-t:.1f}s")
+    log(f"model init in {time.perf_counter()-t:.1f}s")
 
     @jax.jit
-    def train_step(params, opt_state, key, seeds, indptr, indices, feats,
-                   labels):
-        sample = multihop_uniform(key, indptr, indices, seeds, FANOUTS)
+    def train_step(params, opt_state, edge_total, key, seeds, indptr,
+                   indices, feats, labels):
+        # dedup=False: static renumbering layout, no sorts in the hot
+        # path (model output distribution identical; see
+        # tests/test_dedup_modes.py)
+        sample = multihop_uniform(key, indptr, indices, seeds, FANOUTS,
+                                  dedup=False)
         inp = sample.input_nodes
         x = jnp.where((inp >= 0)[:, None], feats[jnp.clip(inp, 0)], 0)
         y = labels[jnp.clip(seeds, 0)]
@@ -96,27 +114,35 @@ def main():
         updates, opt_state = tx.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
         edges = sum(jnp.sum(h.mask) for h in sample.hops)
-        return params, opt_state, loss, edges
+        return params, opt_state, edge_total + edges.astype(jnp.int32), loss
 
     key = jax.random.PRNGKey(2)
-    total_edges = 0
+    edge_total = jnp.zeros((), jnp.int32)
     for i in range(WARMUP):
         key, sk, pk = jax.random.split(key, 3)
         seeds = jax.random.randint(pk, (BATCH,), 0, NUM_NODES, jnp.int32)
-        params, opt_state, loss, edges = train_step(
-            params, opt_state, sk, seeds, indptr_j, indices_j, feats, labels)
+        params, opt_state, edge_total, loss = train_step(
+            params, opt_state, edge_total, sk, seeds, indptr_j, indices_j,
+            feats, labels)
     jax.block_until_ready(params)
     log("warmup done")
 
+    # Timed loop: NO device->host readbacks inside (a scalar readback
+    # costs seconds through the tunnel); the edge count accumulates on
+    # device and is fetched once at the end.
+    edge_total = jnp.zeros((), jnp.int32)
     t0 = time.perf_counter()
     for i in range(ITERS):
         key, sk, pk = jax.random.split(key, 3)
         seeds = jax.random.randint(pk, (BATCH,), 0, NUM_NODES, jnp.int32)
-        params, opt_state, loss, edges = train_step(
-            params, opt_state, sk, seeds, indptr_j, indices_j, feats, labels)
-        total_edges += int(edges)
-    jax.block_until_ready(params)
+        params, opt_state, edge_total, loss = train_step(
+            params, opt_state, edge_total, sk, seeds, indptr_j, indices_j,
+            feats, labels)
+    jax.block_until_ready((params, edge_total))
     dt = time.perf_counter() - t0
+    log(f"timed loop: {dt:.3f}s for {ITERS} iters "
+        f"({1e3*dt/ITERS:.1f} ms/iter)")
+    total_edges = int(edge_total)
 
     edges_per_s = total_edges / dt
     print(json.dumps({

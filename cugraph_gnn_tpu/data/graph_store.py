@@ -154,9 +154,10 @@ class SamplingGraph:
             e = store._edges[et]
             gsrc = e.src.astype(np.int64) + offsets[st]
             gdst = e.dst.astype(np.int64) + offsets[dt]
-            # reversed: rows = destination, cols = source
-            (indptr, indices), perm = coo_to_csr_np(
-                gdst, gsrc, total, sort_by="src")
+            # reversed: rows = destination, cols = source; native
+            # counting-sort builder (cpp/csr_builder.cpp)
+            from cugraph_gnn_tpu.native import build_csr
+            indptr, indices, perm = build_csr(gdst, gsrc, total)
             csrs[et] = (jnp.asarray(indptr, jnp.int32),
                         jnp.asarray(indices, jnp.int32),
                         edge_base)

@@ -189,6 +189,6 @@ def _edge_attr_to_csr_order(graph_store: GraphStore, graph, et, attr):
     st, _, dt = et
     gsrc = np.asarray(src).astype(np.int64) + graph.node_offsets[st]
     gdst = np.asarray(dst).astype(np.int64) + graph.node_offsets[dt]
-    from cugraph_gnn_tpu.ops.csr import coo_to_csr_np
-    _, perm = coo_to_csr_np(gdst, gsrc, total, sort_by="src")
+    from cugraph_gnn_tpu.native import build_csr
+    _, _, perm = build_csr(gdst, gsrc, total)
     return jnp.asarray(np.asarray(attr)[perm])

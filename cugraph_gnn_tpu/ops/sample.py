@@ -39,7 +39,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-NEG = jnp.int32(-1)
+# NB: numpy, not jnp — a module-level device array would be embedded
+# into every lowered program via a device->host readback, which costs
+# ~minutes through the axon tunnel (one readback per program constant).
+NEG = np.int32(-1)
 
 
 class SampleOutput(NamedTuple):
@@ -86,9 +89,12 @@ def floyd_positions(u, degrees, fanout: int):
         return jax.lax.dynamic_update_slice(sel, pick[:, None], (0, i))
 
     # fori_loop (not an unrolled Python loop): keeps the XLA program size
-    # O(1) in fanout — compile time matters on big pipelines.
-    sel = jax.lax.fori_loop(
-        0, k, body, jnp.full((s, k), -1, dtype=jnp.int32))
+    # O(1) in fanout — compile time matters on big pipelines.  The init
+    # carry is derived from `u` so its manual-axes "varying" type matches
+    # the body output when this runs inside shard_map.
+    init = (u[:, :1] * 0).astype(jnp.int32) - 1 + jnp.zeros(
+        (s, k), jnp.int32)
+    sel = jax.lax.fori_loop(0, k, body, init)
     # Small-degree rows: take all neighbors in order, pad with -1.
     iota = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32), (s, k))
     small = iota < d[:, None]

@@ -38,11 +38,19 @@ def level_capacities(batch_size: int, fanouts: Sequence[int]) -> List[int]:
     return caps
 
 
-def multihop_uniform(key, indptr, indices, seeds, fanouts) -> MultihopBatch:
+def multihop_uniform(key, indptr, indices, seeds, fanouts,
+                     dedup: bool = True) -> MultihopBatch:
     """Pure-functional uniform multi-hop sampling with *explicit* graph
     arguments.  Use this form inside larger jitted steps: closing over
     big device arrays embeds them as XLA constants (catastrophic compile
     times); explicit args stay parameters.
+
+    dedup=False is the TPU fast path (the reference's
+    ``deduplicate_sources=False``, ref neighbor_loader.py:208-210): the
+    next level is the *static* layout [targets | neighbors row-major], so
+    renumbering is position arithmetic — zero sorts.  On large graphs
+    collisions are rare and dedup saves little compute while its sorts
+    dominate the sampling step.
     """
     fanouts = tuple(int(f) for f in fanouts)
     caps = level_capacities(int(seeds.shape[0]), fanouts)
@@ -60,14 +68,25 @@ def multihop_uniform(key, indptr, indices, seeds, fanouts) -> MultihopBatch:
             jnp.where(vm, out.neighbors, -1),
             jnp.where(vm, out.edge_ids, -1),
             jnp.where(valid_seed, out.num_sampled, 0))
-        uniq = append_unique(
-            targets, out.neighbors.reshape(-1), max_unique=caps[h + 1])
+        t = targets.shape[0]
+        if dedup:
+            uniq = append_unique(
+                targets, out.neighbors.reshape(-1), max_unique=caps[h + 1])
+            neigh_local = uniq.neighbor_map.reshape(out.neighbors.shape)
+            next_level = uniq.unique_nodes
+        else:
+            # static layout: neighbor (i, j) sits at t + i*fanout + j
+            pos = (t + jnp.arange(t * fanout, dtype=jnp.int32)
+                   ).reshape(out.neighbors.shape)
+            neigh_local = jnp.where(out.neighbors >= 0, pos, -1)
+            next_level = jnp.concatenate(
+                [targets, out.neighbors.reshape(-1)])
         hops.append(HopBlock(
-            neigh_local=uniq.neighbor_map.reshape(out.neighbors.shape),
+            neigh_local=neigh_local,
             neigh_global=out.neighbors,
             edge_ids=out.edge_ids))
-        levels.append(uniq.unique_nodes)
-        level_counts.append(jnp.sum(uniq.unique_nodes >= 0).astype(jnp.int32))
+        levels.append(next_level)
+        level_counts.append(jnp.sum(next_level >= 0).astype(jnp.int32))
     return MultihopBatch(levels=levels, level_counts=level_counts,
                          hops=hops, seed_count=level_counts[0])
 
@@ -91,7 +110,7 @@ class NeighborSampler:
 
     def __init__(self, indptr, indices, fanouts: Sequence[int], *,
                  weights=None, edge_times=None, max_degree: Optional[int] = None,
-                 chunk: int = 256):
+                 chunk: int = 256, dedup: bool = True):
         self.indptr = jnp.asarray(indptr)
         self.indices = jnp.asarray(indices)
         self.fanouts = tuple(int(f) for f in fanouts)
@@ -99,6 +118,7 @@ class NeighborSampler:
         self.edge_times = None if edge_times is None else jnp.asarray(edge_times)
         self.max_degree = max_degree
         self.chunk = chunk
+        self.dedup = dedup
         if (weights is not None or edge_times is not None) and max_degree is None:
             raise ValueError("weighted/temporal sampling needs static max_degree")
         self._sample_jit = jax.jit(
@@ -146,16 +166,25 @@ class NeighborSampler:
             hkey = jax.random.fold_in(key, h)
             targets = levels[-1]
             out = self._one_hop(hkey, targets, fanout, seed_time)
-            uniq = append_unique(
-                targets, out.neighbors.reshape(-1), max_unique=caps[h + 1])
-            neigh_local = uniq.neighbor_map.reshape(out.neighbors.shape)
+            t = targets.shape[0]
+            if self.dedup:
+                uniq = append_unique(
+                    targets, out.neighbors.reshape(-1), max_unique=caps[h + 1])
+                neigh_local = uniq.neighbor_map.reshape(out.neighbors.shape)
+                next_level = uniq.unique_nodes
+            else:
+                pos = (t + jnp.arange(t * fanout, dtype=jnp.int32)
+                       ).reshape(out.neighbors.shape)
+                neigh_local = jnp.where(out.neighbors >= 0, pos, -1)
+                next_level = jnp.concatenate(
+                    [targets, out.neighbors.reshape(-1)])
             hops.append(HopBlock(
                 neigh_local=neigh_local,
                 neigh_global=out.neighbors,
                 edge_ids=out.edge_ids,
             ))
-            levels.append(uniq.unique_nodes)
-            level_counts.append(jnp.sum(uniq.unique_nodes >= 0).astype(jnp.int32))
+            levels.append(next_level)
+            level_counts.append(jnp.sum(next_level >= 0).astype(jnp.int32))
             if seed_time is not None:
                 # Sampled nodes inherit their seed's time (PyG temporal
                 # semantics, ref sampler_utils.py:213-311): propagate via

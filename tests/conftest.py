@@ -21,6 +21,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
+# CPU XLA compiles dominate test runtime; cache them across runs.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 assert jax.device_count() == 8, jax.devices()
 
 import numpy as np  # noqa: E402
