@@ -19,12 +19,12 @@ import numpy as np
 def log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
-# Round-1 pinned reference point: the end-of-round-1 measurement on one
-# TPU v5e chip (157M edges/s, 0.8 ms/iter full train step after fixing
-# trace-time device-constant embedding + in-loop readbacks).  Later
-# rounds' vs_baseline shows progress relative to this.  Update only when
-# the bench definition changes.
-BASELINE_EDGES_PER_S = 1.57e8
+# Round-1 pinned reference point: end-of-round-1 measurement on one TPU
+# v5e chip with dependency-forced timing (7.85 ms/iter full GraphSAGE
+# train step = 15.65M sampled edges/s).  Later rounds' vs_baseline
+# shows progress relative to this.  Update only when the bench
+# definition changes.
+BASELINE_EDGES_PER_S = 1.565e7
 
 # ogbn-products scale: 2.45M nodes, ~124M directed edges
 NUM_NODES = 2_449_029
@@ -127,22 +127,33 @@ def main():
     jax.block_until_ready(params)
     log("warmup done")
 
-    # Timed loop: NO device->host readbacks inside (a scalar readback
-    # costs seconds through the tunnel); the edge count accumulates on
-    # device and is fetched once at the end.
-    edge_total = jnp.zeros((), jnp.int32)
+    # Timing: `block_until_ready` does NOT reliably wait through the
+    # axon tunnel, and a scalar readback has a large fixed cost.
+    # Measure by iteration-count differencing: run loops of 2 and
+    # ITERS+2, each ended by a *dependent* readback (the edge-count
+    # accumulator threads through every step), and subtract.
+    def run(n, params, opt_state):
+        nonlocal key
+        edge_total = jnp.zeros((), jnp.int32)
+        for i in range(n):
+            key, sk, pk = jax.random.split(key, 3)
+            seeds = jax.random.randint(pk, (BATCH,), 0, NUM_NODES, jnp.int32)
+            params, opt_state, edge_total, loss = train_step(
+                params, opt_state, edge_total, sk, seeds, indptr_j,
+                indices_j, feats, labels)
+        return int(edge_total), params, opt_state
+
+    _, params, opt_state = run(2, params, opt_state)  # warm
     t0 = time.perf_counter()
-    for i in range(ITERS):
-        key, sk, pk = jax.random.split(key, 3)
-        seeds = jax.random.randint(pk, (BATCH,), 0, NUM_NODES, jnp.int32)
-        params, opt_state, edge_total, loss = train_step(
-            params, opt_state, edge_total, sk, seeds, indptr_j, indices_j,
-            feats, labels)
-    jax.block_until_ready((params, edge_total))
-    dt = time.perf_counter() - t0
-    log(f"timed loop: {dt:.3f}s for {ITERS} iters "
-        f"({1e3*dt/ITERS:.1f} ms/iter)")
-    total_edges = int(edge_total)
+    _, params, opt_state = run(2, params, opt_state)
+    t_small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    total_edges, params, opt_state = run(ITERS + 2, params, opt_state)
+    t_big = time.perf_counter() - t0
+    dt = max(t_big - t_small, 1e-9)
+    total_edges = total_edges * ITERS // (ITERS + 2)
+    log(f"timed: {t_big:.2f}s[{ITERS+2}] - {t_small:.2f}s[2] -> "
+        f"{1e3*dt/ITERS:.2f} ms/iter")
 
     edges_per_s = total_edges / dt
     print(json.dumps({

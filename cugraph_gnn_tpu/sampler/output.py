@@ -87,6 +87,45 @@ class COOSample(NamedTuple):
     num_sampled_edges: jax.Array  # (L,) valid edges per hop
 
 
+class CSCSample(NamedTuple):
+    """PyG-style CSC sample (ref cugraph_pyg/sampler/sampler.py:525-640
+    CSC decoder): per-hop compressed columns over the unique node list.
+    Fixed-fanout rows compress trivially: colptr is uniform * fanout."""
+
+    node: jax.Array                # (N,) global node ids, -1 pad
+    colptr: List[jax.Array]        # per hop: (S_l + 1,)
+    row: List[jax.Array]           # per hop: (S_l * k_l,) local src ids
+    edge: List[jax.Array]          # per hop: (S_l * k_l,) global edge ids
+    num_sampled_nodes: jax.Array
+    num_sampled_edges: jax.Array
+
+
+def to_csc(batch: MultihopBatch) -> CSCSample:
+    """CSC view of a multihop batch (dst-major compressed)."""
+    colptrs, rows, edges, n_edges = [], [], [], []
+    for hop in batch.hops:
+        s, k = hop.neigh_local.shape
+        m = hop.mask
+        cnt = jnp.sum(m, axis=1).astype(jnp.int32)
+        colptr = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt)])
+        # compact valid entries to the row-major front of each row is
+        # unnecessary: emit padded row-major slots with -1 (consumers
+        # mask), colptr counts only valid entries
+        rows.append(jnp.where(m, hop.neigh_local, -1).reshape(-1))
+        edges.append(jnp.where(m, hop.edge_ids, -1).reshape(-1))
+        colptrs.append(colptr)
+        n_edges.append(jnp.sum(m).astype(jnp.int32))
+    counts = [batch.level_counts[0]] + [
+        batch.level_counts[i + 1] - batch.level_counts[i]
+        for i in range(len(batch.hops))
+    ]
+    return CSCSample(
+        node=batch.levels[-1], colptr=colptrs, row=rows, edge=edges,
+        num_sampled_nodes=jnp.stack(counts),
+        num_sampled_edges=jnp.stack(n_edges))
+
+
 def to_coo(batch: MultihopBatch) -> COOSample:
     """Flatten a MultihopBatch into PyG-style COO with per-hop counts."""
     node = batch.levels[-1]
