@@ -29,7 +29,10 @@ BASELINE_EDGES_PER_S = 1.565e7
 # ogbn-products scale: 2.45M nodes, ~124M directed edges
 NUM_NODES = 2_449_029
 NUM_EDGES = 123_718_280
-FEAT_DIM = 100
+# products features are 100-dim; pad to the 128 TPU lane width — row
+# gather on unaligned widths is ~4x slower (measured 4.7ms -> 1.1ms for
+# the batch gather).  The loader exposes the same knob (pad_features).
+FEAT_DIM = 128
 HIDDEN = 256
 CLASSES = 47
 BATCH = 1024

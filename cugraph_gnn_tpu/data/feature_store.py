@@ -27,10 +27,16 @@ class FeatureStore:
     """Keyed feature store; ``mesh=None`` keeps features on one device
     (or host) and gathers with plain indexing."""
 
-    def __init__(self, mesh=None, axis: str = "store"):
+    def __init__(self, mesh=None, axis: str = "store",
+                 pad_features_to: Optional[int] = None):
+        """pad_features_to: pad 2-D tensors' feature dim up to a multiple
+        of this (128 = TPU lane width; unaligned row gathers are ~4x
+        slower on v5e).  Reads slice back to the logical width."""
         self.mesh = mesh
         self.axis = axis
+        self.pad_features_to = pad_features_to
         self._store: Dict[Tuple[str, str], object] = {}
+        self._logical_width: Dict[Tuple[str, str], int] = {}
 
     @staticmethod
     def _key(group_name: Optional[str], attr_name: str):
@@ -41,6 +47,14 @@ class FeatureStore:
     def put_tensor(self, tensor, group_name: Optional[str], attr_name: str,
                    book: Optional[PartitionBook] = None):
         key = self._key(group_name, attr_name)
+        tensor = np.asarray(tensor)
+        if (self.pad_features_to and tensor.ndim == 2
+                and tensor.shape[1] % self.pad_features_to):
+            self._logical_width[key] = tensor.shape[1]
+            padw = -tensor.shape[1] % self.pad_features_to
+            tensor = np.concatenate(
+                [tensor, np.zeros((tensor.shape[0], padw), tensor.dtype)],
+                axis=1)
         if self.mesh is not None:
             arr = np.asarray(tensor)
             if arr.ndim == 1:
@@ -55,12 +69,20 @@ class FeatureStore:
 
     def get_tensor(self, group_name: Optional[str], attr_name: str,
                    ids=None):
-        kind, val = self._store[self._key(group_name, attr_name)]
+        """Full reads (ids=None) return the logical (unpadded) tensor;
+        id-gathers return the padded rows when ``pad_features_to`` is set
+        (the fast path — models consume the padded width)."""
+        key = self._key(group_name, attr_name)
+        kind, val = self._store[key]
         if ids is None:
             if kind == "local":
-                return val
-            out = val.to_global()
-            return out[:, 0] if kind == "1d" else out
+                out = val
+            else:
+                out = val.to_global()
+                out = out[:, 0] if kind == "1d" else out
+            if kind != "1d" and key in self._logical_width:
+                out = out[:, : self._logical_width[key]]
+            return out
         ids = jnp.asarray(ids)
         if kind == "local":
             ok = ids >= 0
