@@ -93,8 +93,8 @@ def floyd_positions(u, degrees, fanout: int):
     # TPU; k is small so the unrolled program stays compact).  The init
     # carry is derived from `u` so its manual-axes "varying" type matches
     # the body output when this runs inside shard_map.
-    init = (u[:, :1] * 0).astype(jnp.int32) - 1 + jnp.zeros(
-        (s, k), jnp.int32)
+    init = ((u[:, :1] * 0).astype(jnp.int32) + d[:, None] * 0 - 1
+            + jnp.zeros((s, k), jnp.int32))
     sel = jax.lax.fori_loop(0, k, body, init)
     # Small-degree rows: take all neighbors in order, pad with -1.
     iota = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32), (s, k))
