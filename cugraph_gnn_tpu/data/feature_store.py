@@ -45,7 +45,16 @@ class FeatureStore:
     # -- PyG FeatureStore surface -------------------------------------------
 
     def put_tensor(self, tensor, group_name: Optional[str], attr_name: str,
-                   book: Optional[PartitionBook] = None):
+                   book: Optional[PartitionBook] = None,
+                   location: str = "device", cache_policy=None):
+        """location='device' (default): rows live in HBM (sharded when a
+        mesh is set).  location='host': rows stay in host RAM behind a
+        device LFU cache — the reference's ``memory_location='cpu'`` +
+        device-cached-host-embedding configuration
+        (ref embedding.cpp:556 device_cached_host_embedding; policy
+        builders ref torch/embedding.py:124-216).  Use for feature
+        matrices larger than HBM (e.g. papers100M).
+        """
         key = self._key(group_name, attr_name)
         tensor = np.asarray(tensor)
         if (self.pad_features_to and tensor.ndim == 2
@@ -55,6 +64,22 @@ class FeatureStore:
             tensor = np.concatenate(
                 [tensor, np.zeros((tensor.shape[0], padw), tensor.dtype)],
                 axis=1)
+        if location == "host":
+            from cugraph_gnn_tpu.embedding.cache import (
+                CachePolicy,
+                DeviceLFUCache,
+            )
+            policy = cache_policy or CachePolicy()
+            if tensor.ndim == 1:
+                tensor = tensor[:, None]
+                kind = "host1d"
+            else:
+                kind = "host"
+            cap = policy.capacity_for(tensor.shape[0])
+            cache = (DeviceLFUCache(tensor, cap, ways=policy.ways)
+                     if cap else None)
+            self._store[key] = (kind, (tensor, cache))
+            return
         if self.mesh is not None:
             arr = np.asarray(tensor)
             if arr.ndim == 1:
@@ -77,13 +102,27 @@ class FeatureStore:
         if ids is None:
             if kind == "local":
                 out = val
+            elif kind in ("host", "host1d"):
+                out = jnp.asarray(val[0])
+                out = out[:, 0] if kind == "host1d" else out
             else:
                 out = val.to_global()
                 out = out[:, 0] if kind == "1d" else out
-            if kind != "1d" and key in self._logical_width:
+            if kind not in ("1d", "host1d") and key in self._logical_width:
                 out = out[:, : self._logical_width[key]]
             return out
         ids = jnp.asarray(ids)
+        if kind in ("host", "host1d"):
+            host_rows, cache = val
+            if cache is not None:
+                rows = cache.gather(ids)
+            else:
+                ids_np = np.asarray(ids)
+                ok = ids_np >= 0
+                rows = jnp.asarray(np.where(
+                    ok[:, None],
+                    host_rows[np.clip(ids_np, 0, len(host_rows) - 1)], 0))
+            return rows[:, 0] if kind == "host1d" else rows
         if kind == "local":
             ok = ids >= 0
             rows = val[jnp.clip(ids, 0)]
@@ -100,6 +139,9 @@ class FeatureStore:
         kind, val = self._store[self._key(group_name, attr_name)]
         if kind == "local":
             return tuple(val.shape)
+        if kind in ("host", "host1d"):
+            shape = val[0].shape
+            return (shape[0],) if kind == "host1d" else tuple(shape)
         shape = val.shape
         return (shape[0],) if kind == "1d" else tuple(shape)
 

@@ -120,3 +120,40 @@ def test_hetero_loader(rng):
     assert (np.asarray(batch.seeds)[:8] < n_a).all()
     blocks = batch.sample.hops[0]
     assert set(blocks.keys()) == {"A__ab__B", "B__ba__A"}
+
+
+def test_feature_store_host_location(rng):
+    """location='host': rows in host RAM behind a device LFU cache
+    (ref device_cached_host_embedding configuration)."""
+    from cugraph_gnn_tpu.embedding.cache import CachePolicy
+    fs = FeatureStore()
+    x = rng.standard_normal((200, 16)).astype(np.float32)
+    fs.put_tensor(x, "", "xh", location="host",
+                  cache_policy=CachePolicy(cache_ratio=0.3, ways=4))
+    np.testing.assert_array_equal(np.asarray(fs.get_tensor("", "xh")), x)
+    ids = rng.integers(0, 200, 64).astype(np.int32)
+    ids[::9] = -1
+    for _ in range(3):  # repeated epochs exercise cache hits
+        out = np.asarray(fs.get_tensor("", "xh", ids=jnp.asarray(ids)))
+        expect = np.where((ids >= 0)[:, None], x[np.clip(ids, 0, None)], 0)
+        np.testing.assert_allclose(out, expect, rtol=1e-6)
+    assert fs.get_tensor_size("", "xh") == (200, 16)
+    # uncached host location
+    fs.put_tensor(x, "", "xn", location="host",
+                  cache_policy=CachePolicy(kind="none"))
+    out = np.asarray(fs.get_tensor("", "xn", ids=jnp.asarray(ids)))
+    expect = np.where((ids >= 0)[:, None], x[np.clip(ids, 0, None)], 0)
+    np.testing.assert_allclose(out, expect, rtol=1e-6)
+
+
+def test_feature_store_padding(rng):
+    fs = FeatureStore(pad_features_to=128)
+    x = rng.standard_normal((50, 100)).astype(np.float32)
+    fs[("", "x")] = x
+    # full read: logical width
+    np.testing.assert_array_equal(np.asarray(fs[("", "x")]), x)
+    # gather: padded width (the fast path)
+    out = np.asarray(fs.get_tensor("", "x", ids=jnp.asarray([3, 7])))
+    assert out.shape == (2, 128)
+    np.testing.assert_array_equal(out[:, :100], x[[3, 7]])
+    np.testing.assert_array_equal(out[:, 100:], 0)
