@@ -121,6 +121,21 @@ def main():
                     "unit": "GB/s(effective)", "ms": round(dt * 1e3, 2)})
     log(f"segment_spmm_xla: {gb:.1f} GB/s effective ({dt*1e3:.2f} ms)")
 
+    # 4b. Degree-bucketed ELL SpMM (gather-based reassembly)
+    from cugraph_gnn_tpu.ops.spmm import EllBuckets, ell_spmm
+    t0 = time.perf_counter()
+    indptr_np = np.zeros(Nv + 1, np.int64)
+    np.add.at(indptr_np[1:], np.asarray(dst), 1)
+    indptr_np = np.cumsum(indptr_np)
+    buckets = EllBuckets(indptr_np, np.asarray(src), max_k=64)
+    log(f"ell buckets built in {time.perf_counter()-t0:.1f}s")
+    g2 = jax.jit(lambda x: ell_spmm(buckets, x, reduce="sum"))
+    dt = timed(g2, x, iters=20)
+    gb = E2 * F2 * 4 / dt / 1e9
+    results.append({"kernel": "ell_spmm", "value": round(gb, 1),
+                    "unit": "GB/s(effective)", "ms": round(dt * 1e3, 2)})
+    log(f"ell_spmm: {gb:.1f} GB/s effective ({dt*1e3:.2f} ms)")
+
     # 5. Fixed-fanout aggregation (sampled path): S x k x F mean
     from cugraph_gnn_tpu.ops.spmm import fanout_aggregate
     S, K = 100_000, 10

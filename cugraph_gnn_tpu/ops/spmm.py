@@ -20,6 +20,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 # ---------------------------------------------------------------------------
@@ -90,6 +91,113 @@ def segment_spmm(x, src, dst, num_out: int, reduce: str = "mean",
             indices_are_sorted=indices_are_sorted)[:num_out]
         return jnp.where(jnp.isfinite(out), out, 0)
     raise ValueError(f"unknown reduce {reduce!r}")
+
+
+# ---------------------------------------------------------------------------
+# Degree-bucketed ELL SpMM — the TPU-idiomatic full-batch path
+# ---------------------------------------------------------------------------
+
+
+class EllBuckets:
+    """Host-side preprocessing for :func:`ell_spmm`.
+
+    Rows are partitioned into power-of-two degree buckets; each bucket
+    stores a dense (rows_b, K_b) neighbor matrix (-1 padded) — turning
+    the ragged CSR reduction into the dense fixed-fanout pattern that
+    runs at ~675 GB/s on v5e, with **gather-based reassembly** instead
+    of scatter-add (XLA scatter is ~10 GB/s on TPU):
+
+    - rows with degree <= max_k produce exactly one partial, and the
+      final output is `concat(bucket_partials)[gather_pos]` — a pure
+      row gather;
+    - heavier rows split into ceil(deg/max_k) chunks combined by a
+      small scatter-add touching only those rows (rare by construction).
+    Padding waste is bounded by 2x.
+    """
+
+    def __init__(self, indptr, indices, max_k: int = 64):
+        indptr = np.asarray(indptr)
+        indices = np.asarray(indices)
+        n = len(indptr) - 1
+        deg = (indptr[1:] - indptr[:-1]).astype(np.int64)
+        self.num_rows = n
+        self.degrees = jnp.asarray(np.maximum(deg, 1).astype(np.float32))
+        ks = [k for k in (1, 2, 4, 8, 16, 32, 64, 128, 256) if k <= max_k]
+        if not ks or ks[-1] != max_k:
+            ks.append(max_k)
+
+        def dense_rows(sel_rows, starts, counts, k):
+            """Vectorized (len(sel), k) neighbor block with -1 pad."""
+            offs = starts[:, None] + np.arange(k)[None, :]
+            ok = np.arange(k)[None, :] < counts[:, None]
+            return np.where(
+                ok, indices[np.minimum(offs, len(indices) - 1)], -1
+            ).astype(np.int32)
+
+        self.buckets = []        # single-chunk rows: (neigh (R, K),)
+        gather_pos = np.full(n, -1, np.int64)
+        pos = 0
+        single = deg <= max_k
+        for bi, k in enumerate(ks):
+            lo = 0 if bi == 0 else ks[bi - 1]
+            sel = np.nonzero(single & (deg > lo) & (deg <= k))[0]
+            if len(sel) == 0:
+                continue
+            neigh = dense_rows(sel, indptr[sel].astype(np.int64),
+                               deg[sel], k)
+            gather_pos[sel] = pos + np.arange(len(sel))
+            pos += len(sel)
+            self.buckets.append(jnp.asarray(neigh))
+        self.gather_pos = jnp.asarray(gather_pos.astype(np.int32))
+
+        # heavy rows -> fixed-size chunks + small scatter
+        heavy = np.nonzero(deg > max_k)[0]
+        if len(heavy):
+            n_chunks = -(-deg[heavy] // max_k)
+            rows = np.repeat(heavy, n_chunks).astype(np.int64)
+            # chunk index within its row
+            ci = np.concatenate([np.arange(c) for c in n_chunks])
+            starts = indptr[rows].astype(np.int64) + ci * max_k
+            counts = np.minimum(deg[rows] - ci * max_k, max_k)
+            self.heavy_neigh = jnp.asarray(
+                dense_rows(rows, starts, counts, max_k))
+            self.heavy_rows = jnp.asarray(rows.astype(np.int32))
+        else:
+            self.heavy_neigh = None
+            self.heavy_rows = None
+
+
+def ell_spmm(buckets: EllBuckets, x, reduce: str = "sum"):
+    """out[r] = reduce over CSR row r of x[cols], via degree buckets."""
+    n = buckets.num_rows
+    f = x.shape[1]
+    neg = jnp.asarray(jnp.finfo(x.dtype).min, x.dtype)
+
+    def bucket_partial(neigh):
+        mask = neigh >= 0
+        xn = x[jnp.clip(neigh, 0)]
+        if reduce == "max":
+            return jnp.max(jnp.where(mask[..., None], xn, neg), axis=1)
+        return jnp.sum(jnp.where(mask[..., None], xn, 0), axis=1)
+
+    parts = [bucket_partial(nb) for nb in buckets.buckets]
+    cat = (jnp.concatenate(parts) if parts
+           else jnp.zeros((1, f), x.dtype))
+    gp = buckets.gather_pos
+    fill = neg if reduce == "max" else jnp.asarray(0, x.dtype)
+    out = jnp.where((gp >= 0)[:, None], cat[jnp.clip(gp, 0)], fill)
+
+    if buckets.heavy_neigh is not None:
+        hp = bucket_partial(buckets.heavy_neigh)
+        if reduce == "max":
+            out = out.at[buckets.heavy_rows].max(hp)
+        else:
+            out = out.at[buckets.heavy_rows].add(hp)
+    if reduce == "mean":
+        out = out / buckets.degrees[:, None]
+    if reduce == "max":
+        out = jnp.where(out == neg, 0, out)
+    return out
 
 
 def csr_spmm(indptr, indices, x, reduce: str = "mean",

@@ -129,3 +129,26 @@ def test_coo_sddmm_and_softmax(rng):
         sel = dst == v
         if sel.any():
             np.testing.assert_allclose(alpha[sel].sum(), 1.0, rtol=1e-5)
+
+
+def test_ell_spmm_matches_segment(rng):
+    from cugraph_gnn_tpu.ops.spmm import EllBuckets, ell_spmm
+    n, f = 60, 16
+    # skewed degrees incl. zero-degree rows and heavy rows (> max_k)
+    src = np.concatenate([
+        rng.integers(0, n, 400),
+        np.full(50, 7),          # heavy row 7
+    ])
+    dst = np.concatenate([
+        rng.integers(0, n // 2, 400),   # rows n//2.. have degree 0
+        np.full(50, 3),                 # row 3 heavy (deg > 16)
+    ])
+    x = rng.standard_normal((n, f)).astype(np.float32)
+    (indptr, indices), _ = coo_to_csr_np(dst, src, n, sort_by="src")
+    buckets = EllBuckets(indptr, indices, max_k=16)
+    for reduce in ("sum", "mean", "max"):
+        out = ell_spmm(buckets, jnp.asarray(x), reduce=reduce)
+        ref = csr_spmm(jnp.asarray(indptr), jnp.asarray(indices),
+                       jnp.asarray(x), reduce=reduce)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
