@@ -36,6 +36,7 @@ class MultihopModel(nn.Module):
     out_features: int = 64
     num_layers: int = 2
     dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     def make_convs(self) -> Sequence[nn.Module]:
         raise NotImplementedError
@@ -76,14 +77,16 @@ class GraphSAGE(MultihopModel):
 
     def make_convs(self):
         dims = [self.hidden_features] * (self.num_layers - 1) + [self.out_features]
-        return [SAGEConv(d, aggr=self.aggr, name=f"conv_{i}")
+        return [SAGEConv(d, aggr=self.aggr, dtype=self.dtype,
+                         name=f"conv_{i}")
                 for i, d in enumerate(dims)]
 
 
 class GCN(MultihopModel):
     def make_convs(self):
         dims = [self.hidden_features] * (self.num_layers - 1) + [self.out_features]
-        return [GCNConv(d, name=f"conv_{i}") for i, d in enumerate(dims)]
+        return [GCNConv(d, dtype=self.dtype, name=f"conv_{i}")
+                for i, d in enumerate(dims)]
 
 
 class GAT(MultihopModel):
