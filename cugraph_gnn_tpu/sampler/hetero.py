@@ -53,11 +53,23 @@ def _etype_str(et) -> str:
 class HeteroNeighborSampler:
     """graph: data.graph_store.SamplingGraph.  fanouts: list (shared by
     all edge types) or dict {edge_type: list} (PyG fanout-dict semantics,
-    ref neighbor_loader.py:192-201)."""
+    ref neighbor_loader.py:192-201).
 
-    def __init__(self, graph, fanouts: Union[Sequence[int], Dict]):
+    weights_by_etype / times_by_etype: optional {etype: per-edge array in
+    CSR edge order} enabling biased / temporal sampling per edge type
+    (ref distributed_sampler.py:53-94 heterogeneous biased/temporal
+    variants).
+    """
+
+    def __init__(self, graph, fanouts: Union[Sequence[int], Dict],
+                 weights_by_etype: Optional[Dict] = None,
+                 times_by_etype: Optional[Dict] = None):
         self.graph = graph
         self.etypes = list(graph.etypes)
+        self.weights = { _etype_str(k): jnp.asarray(v)
+                         for k, v in (weights_by_etype or {}).items() }
+        self.times = { _etype_str(k): jnp.asarray(v)
+                       for k, v in (times_by_etype or {}).items() }
         if isinstance(fanouts, dict):
             norm = { _etype_str(k): [int(x) for x in v]
                      for k, v in fanouts.items() }
@@ -84,8 +96,8 @@ class HeteroNeighborSampler:
         return caps
 
     def _sample(self, key, seeds, node_times=None, *, batch_size: int):
-        del node_times  # temporal hetero: future work
         caps = self._level_caps(batch_size)
+        seed_time = node_times
         levels = [seeds.astype(jnp.int32)]
         level_counts = [jnp.sum(seeds >= 0).astype(jnp.int32)]
         hops: List[Dict[str, HopBlock]] = []
@@ -102,8 +114,25 @@ class HeteroNeighborSampler:
                     continue
                 indptr, indices, edge_base = self.graph.csr_by_etype[et]
                 hkey = jax.random.fold_in(jax.random.fold_in(key, h), ei)
-                out = sample_ops.uniform_sample(
-                    hkey, indptr, indices, safe, fan[h])
+                w = self.weights.get(ename)
+                times = self.times.get(ename)
+                tf = None
+                if times is not None and seed_time is not None:
+                    tf = (lambda times_: lambda eids:
+                          times_[eids] <= seed_time[:, None])(times)
+                if w is not None:
+                    out = sample_ops.weighted_sample(
+                        hkey, indptr, indices, w, safe, fan[h],
+                        max_degree=self.graph.max_degree_by_etype[et],
+                        time_filter=tf)
+                elif tf is not None:
+                    out = sample_ops.masked_uniform_sample(
+                        hkey, indptr, indices, safe, fan[h],
+                        max_degree=self.graph.max_degree_by_etype[et],
+                        time_filter=tf)
+                else:
+                    out = sample_ops.uniform_sample(
+                        hkey, indptr, indices, safe, fan[h])
                 vm = valid_seed[:, None]
                 neighbors = jnp.where(vm, out.neighbors, -1)
                 edge_ids = jnp.where(
@@ -130,6 +159,25 @@ class HeteroNeighborSampler:
             levels.append(uniq.unique_nodes)
             level_counts.append(
                 jnp.sum(uniq.unique_nodes >= 0).astype(jnp.int32))
+            if seed_time is not None:
+                # sampled nodes inherit their seed's time (min over
+                # assignments), as in the homogeneous path
+                big = jnp.asarray(jnp.iinfo(jnp.int32).max, seed_time.dtype)
+                cap = caps[h + 1]
+                tf_full = jnp.full((cap,), big, seed_time.dtype)
+                tf_full = tf_full.at[: targets.shape[0]].set(seed_time)
+                for et in self.etypes:
+                    ename = _etype_str(et)
+                    if ename not in blocks:
+                        continue
+                    nl = blocks[ename].neigh_local.reshape(-1)
+                    fanh = self.fanouts[ename][h]
+                    flat_t = jnp.repeat(seed_time, fanh)
+                    ok = nl >= 0
+                    tf_full = tf_full.at[
+                        jnp.where(ok, nl, cap - 1)].min(
+                        jnp.where(ok, flat_t, big))
+                seed_time = tf_full
         return HeteroMultihopBatch(
             levels=levels, level_counts=level_counts, hops=hops,
             seed_count=level_counts[0])

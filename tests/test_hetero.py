@@ -142,3 +142,31 @@ def test_rgcn_trains_on_hetero_batches(hetero_store):
                                      to_rel_batches(b.sample, b.x), y, b.seeds)
             losses.append(float(loss))
     assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+
+def test_hetero_weighted_and_temporal(hetero_store, rng):
+    fs, gs, n_p, n_a = hetero_store
+    g = gs.finalize()
+    # weights: cites edges weighted, writes uniform
+    et_c = ("paper", "cites", "paper")
+    n_c = len(gs.get_edge_index(et_c)[0])
+    w = rng.random(n_c).astype(np.float32) + 0.1
+    sampler = HeteroNeighborSampler(
+        g, [4], weights_by_etype={et_c: w})
+    seeds = jnp.arange(8, dtype=jnp.int32)
+    b = sampler.sample(jax.random.PRNGKey(0), seeds)
+    # without-replacement validity for the weighted etype
+    e = np.asarray(b.hops[0]["paper__cites__paper"].edge_ids)
+    for row in e:
+        vals = row[row >= 0]
+        assert len(set(vals.tolist())) == len(vals)
+
+    # temporal: edges of 'cites' stamped with times; only t<=seed_time
+    times = rng.integers(0, 100, n_c).astype(np.int32)
+    sampler_t = HeteroNeighborSampler(
+        g, [4], times_by_etype={et_c: times})
+    st = jnp.full((8,), 50, jnp.int32)
+    bt = sampler_t.sample(jax.random.PRNGKey(1), seeds, st)
+    eids = np.asarray(bt.hops[0]["paper__cites__paper"].edge_ids)
+    base = g.csr_by_etype[et_c][2]
+    ok = eids >= 0
+    assert (times[eids[ok] - base] <= 50).all()

@@ -110,3 +110,28 @@ def test_rgcn_full(rng):
     out = model.apply(params, x, src, dst, etype, n, method=m)
     assert out.shape == (n, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_gat_sampled_equals_full_with_full_fanout(karate):
+    """GAT with fanout >= max degree must equal full-batch attention
+    (allclose parity, BASELINE.md correctness criterion)."""
+    n = karate.num_nodes
+    deg_max = int(np.bincount(karate.dst, minlength=n).max())
+    sampler = build_sampler(karate, [deg_max, deg_max])
+    seeds = jnp.arange(n, dtype=jnp.int32)
+    batch = sampler.sample(jax.random.PRNGKey(0), seeds)
+    x_full = jax.random.normal(jax.random.PRNGKey(1), (n, 8))
+
+    model = GAT(hidden_features=8, out_features=4, num_layers=2, heads=2)
+    inp = batch.input_nodes
+    x_in = jnp.where((inp >= 0)[:, None], x_full[jnp.clip(inp, 0)], 0)
+    params = model.init(jax.random.PRNGKey(2), x_in, batch)
+    out_sampled = model.apply(params, x_in, batch)
+
+    src = jnp.asarray(karate.src)
+    dst = jnp.asarray(karate.dst)
+    out_full = model.apply(params, x_full, src, dst, n,
+                           method=lambda m, x, s, d, nn_: m.full(x, s, d, nn_))
+    np.testing.assert_allclose(
+        np.asarray(out_sampled), np.asarray(out_full)[:n], rtol=2e-3,
+        atol=2e-4)
