@@ -83,10 +83,11 @@ def _sparse_apply_shard(table, state, ids, grads, *, book: PartitionBook,
     # second dedup: same id may arrive from several ranks
     fids, fgrads = dedup_ids_grads(req_ids, req_grads)
     my_rank = jax.lax.axis_index(axis)
-    row_start = jnp.asarray(book.offsets[:-1])[my_rank]
-    my_count = jnp.asarray(book.counts)[my_rank]
-    local = fids - row_start
-    ok = (fids >= 0) & (local >= 0) & (local < my_count)
+    my_count = jnp.asarray(np.asarray(book.counts))[my_rank]
+    local = book.local_offset(jnp.maximum(fids, 0))
+    ok = ((fids >= 0)
+          & (book.owner_of(jnp.maximum(fids, 0)) == my_rank)
+          & (local < my_count))
     safe = jnp.where(ok, local, 0)
     rows = table[safe]
     state_rows = {k: v[safe] for k, v in state.items()}

@@ -125,10 +125,11 @@ def _dist_gather_shard(table, ids, *, book: PartitionBook, axis: str, fill):
     # 2) local gather (negative/out-of-range -> fill row); positions not
     #    covered by recv_sizes hold garbage but are never shipped back.
     my_rank = jax.lax.axis_index(axis)
-    row_start = jnp.asarray(book.offsets[:-1])[my_rank]
-    my_count = jnp.asarray(book.counts)[my_rank]
-    local = req_ids - row_start
-    ok = (req_ids >= 0) & (local >= 0) & (local < my_count)
+    my_count = jnp.asarray(np.asarray(book.counts))[my_rank]
+    local = book.local_offset(jnp.maximum(req_ids, 0))
+    ok = ((req_ids >= 0)
+          & (book.owner_of(jnp.maximum(req_ids, 0)) == my_rank)
+          & (local < my_count))
     rows = table[jnp.where(ok, local, 0)]
     rows = jnp.where(ok[:, None], rows, jnp.asarray(fill, rows.dtype))
     # 3) ship rows back: reverse geometry of step 1.
@@ -152,14 +153,15 @@ def _dist_scatter_shard(table, ids, values, *, book: PartitionBook,
     req_vals, _, _ = _ragged_a2a(
         sorted_vals, offsets, counts, axis, world * b)
     my_rank = jax.lax.axis_index(axis)
-    row_start = jnp.asarray(book.offsets[:-1])[my_rank]
-    my_count = jnp.asarray(book.counts)[my_rank]
-    local = req_ids - row_start
+    my_count = jnp.asarray(np.asarray(book.counts))[my_rank]
+    local = book.local_offset(jnp.maximum(req_ids, 0))
     # Positions beyond the received total hold stale ids from the output
     # buffer fill; mask them by position.
     total_recv = jnp.sum(recv_sizes)
     pos = jnp.arange(world * b)
-    ok = (pos < total_recv) & (req_ids >= 0) & (local >= 0) & (local < my_count)
+    ok = ((pos < total_recv) & (req_ids >= 0)
+          & (book.owner_of(jnp.maximum(req_ids, 0)) == my_rank)
+          & (local < my_count))
     safe = jnp.where(ok, local, book.shard_size)  # overflow row -> dropped
     if mode == "set":
         return table.at[safe].set(req_vals.astype(table.dtype), mode="drop")
@@ -215,14 +217,15 @@ class DistArray:
         total = host_array.shape[0]
         world = mesh.shape[axis]
         book = book or PartitionBook.even(total, world)
-        # Padded layout: rank r's logical rows live at
-        # [r*shard_size, r*shard_size + counts[r]).
+        # Padded layout: row id -> owner*shard_size + local_offset
+        # (contiguous ranges for range books, interleaved for
+        # round-robin books).
         padded = np.zeros((book.padded_total, *host_array.shape[1:]),
                           host_array.dtype)
-        for r in range(world):
-            lo, hi = int(book.offsets[r]), int(book.offsets[r + 1])
-            padded[r * book.shard_size: r * book.shard_size + (hi - lo)] = (
-                host_array[lo:hi])
+        gids = np.arange(total)
+        dstpos = (book.owner_of_np(gids).astype(np.int64) * book.shard_size
+                  + book.local_offset_np(gids))
+        padded[dstpos] = host_array
         sharding = NamedSharding(mesh, P(axis))
         return DistArray(jax.device_put(padded, sharding), book, mesh, axis)
 
@@ -300,9 +303,7 @@ class DistArray:
     def to_global(self):
         """Full (unpadded) array on host — test/debug helper."""
         data = np.asarray(self.data)
-        parts = []
-        for r in range(self.world):
-            n = int(self.book.counts[r])
-            start = r * self.book.shard_size
-            parts.append(data[start:start + n])
-        return np.concatenate(parts) if parts else data[:0]
+        gids = np.arange(self.book.total)
+        pos = (self.book.owner_of_np(gids).astype(np.int64)
+               * self.book.shard_size + self.book.local_offset_np(gids))
+        return data[pos]

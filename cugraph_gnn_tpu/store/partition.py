@@ -130,3 +130,63 @@ class PartitionBook:
         if self.is_even:
             return np.asarray(ids) // self.shard_size
         return np.searchsorted(self.offsets[1:-1], np.asarray(ids), side="right")
+
+    def local_offset_np(self, ids: np.ndarray) -> np.ndarray:
+        ids = np.asarray(ids)
+        return ids - self.offsets[:-1][self.owner_of_np(ids)]
+
+
+@dataclasses.dataclass(frozen=True)
+class RoundRobinBook:
+    """Round-robin row assignment: owner = id % world, local = id // world
+    (the reference's round-robin shard for load balance,
+    ref cpp/include/wholememory/embedding.h:124-136 round-robin support
+    and file_io round-robin load paths).
+
+    Duck-types the PartitionBook surface used by the distributed shard
+    kernels (owner_of / local_offset / counts / shard_size / world_size).
+    """
+
+    total: int
+    world_size: int
+
+    @property
+    def shard_size(self) -> int:
+        return -(-self.total // self.world_size)
+
+    @property
+    def padded_total(self) -> int:
+        return self.world_size * self.shard_size
+
+    @property
+    def counts(self) -> np.ndarray:
+        base = self.total // self.world_size
+        extra = self.total % self.world_size
+        return np.asarray(
+            [base + (1 if r < extra else 0) for r in range(self.world_size)],
+            dtype=np.int64)
+
+    @property
+    def offsets(self) -> np.ndarray:  # logical (per-rank) counts prefix
+        return np.concatenate([[0], np.cumsum(self.counts)])
+
+    @property
+    def is_even(self) -> bool:
+        return False
+
+    def owner_of(self, ids):
+        return (jnp.asarray(ids) % self.world_size).astype(jnp.int32)
+
+    def local_offset(self, ids, owner=None):
+        return jnp.asarray(ids) // self.world_size
+
+    def to_padded(self, ids, owner=None):
+        ids = jnp.asarray(ids)
+        return (ids % self.world_size) * self.shard_size + (
+            ids // self.world_size)
+
+    def owner_of_np(self, ids):
+        return np.asarray(ids) % self.world_size
+
+    def local_offset_np(self, ids):
+        return np.asarray(ids) // self.world_size

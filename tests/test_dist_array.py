@@ -102,3 +102,41 @@ def test_dist_scatter_add(mesh, rng):
     np.add.at(expect, ids, vals)
     np.testing.assert_allclose(
         np.asarray(arr.to_global()), expect, rtol=1e-5, atol=1e-5)
+
+
+def test_round_robin_book():
+    from cugraph_gnn_tpu.store.partition import RoundRobinBook
+    book = RoundRobinBook(total=100, world_size=8)
+    ids = np.array([0, 1, 7, 8, 15, 16, 99])
+    np.testing.assert_array_equal(book.owner_of_np(ids), ids % 8)
+    np.testing.assert_array_equal(book.local_offset_np(ids), ids // 8)
+    np.testing.assert_array_equal(
+        np.asarray(book.owner_of(jnp.asarray(ids))), ids % 8)
+    assert book.counts.sum() == 100
+    # ranks 0..3 get 13 rows, 4..7 get 12
+    np.testing.assert_array_equal(book.counts[:4], 13)
+    np.testing.assert_array_equal(book.counts[4:], 12)
+
+
+def test_dist_array_round_robin_gather(mesh, rng):
+    """Round-robin sharded array: gather/scatter correctness
+    (ref round-robin shard support, embedding.h:124-136)."""
+    from cugraph_gnn_tpu.store.partition import RoundRobinBook
+    n, f, b = 100, 8, 48
+    host = rng.standard_normal((n, f)).astype(np.float32)
+    book = RoundRobinBook(total=n, world_size=8)
+    arr = DistArray.from_array(host, mesh, book=book)
+    np.testing.assert_array_equal(arr.to_global(), host)
+    ids = rng.integers(0, n, b).astype(np.int32)
+    ids[::11] = -1
+    out = np.asarray(arr.gather(jnp.asarray(ids)))
+    expect = np.where((ids >= 0)[:, None], host[np.clip(ids, 0, None)], 0)
+    np.testing.assert_allclose(out, expect, rtol=1e-6)
+    # scatter_add round trip
+    vals = rng.standard_normal((b, f)).astype(np.float32)
+    arr.scatter_add(jnp.asarray(ids), jnp.asarray(vals))
+    expect2 = host.copy()
+    ok = ids >= 0
+    np.add.at(expect2, ids[ok], vals[ok])
+    np.testing.assert_allclose(arr.to_global(), expect2, rtol=1e-5,
+                               atol=1e-5)
