@@ -86,6 +86,24 @@ class LinkLoader:
             return 0
         return int(self.batch_size * self.neg.amount)
 
+    def _negatives(self, key, ps, n_neg):
+        """binary: independent (src, dst) corruption pairs.
+        triplet: negatives share the positive sources — each positive
+        source gets ``amount`` corrupted destinations
+        (ref sampler_utils.py PyG triplet semantics)."""
+        if self.neg.mode == "triplet":
+            amount = max(int(self.neg.amount), 1)
+            ns = jnp.repeat(jnp.asarray(ps, jnp.int32), amount)[:n_neg]
+            _, nd = sample_negative_edges(
+                key, self.num_nodes, self.num_nodes, n_neg, self.neg,
+                self._edge_key_sorted)
+            # invalidate negatives whose source is padding
+            nd = jnp.where(ns >= 0, nd, -1)
+            return ns, nd
+        return sample_negative_edges(
+            key, self.num_nodes, self.num_nodes, n_neg, self.neg,
+            self._edge_key_sorted)
+
     def __iter__(self) -> Iterator[LinkBatch]:
         order = np.arange(len(self.pos_src))
         if self.shuffle:
@@ -104,10 +122,7 @@ class LinkLoader:
             input_id[: len(sel)] = sel
             kk = jax.random.fold_in(key, i)
             if n_neg:
-                ns, nd = sample_negative_edges(
-                    jax.random.fold_in(kk, 1), self.num_nodes,
-                    self.num_nodes, n_neg, self.neg,
-                    self._edge_key_sorted)
+                ns, nd = self._negatives(jax.random.fold_in(kk, 1), ps, n_neg)
             else:
                 ns = jnp.zeros((0,), jnp.int32)
                 nd = jnp.zeros((0,), jnp.int32)

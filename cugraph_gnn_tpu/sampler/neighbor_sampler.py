@@ -110,7 +110,14 @@ class NeighborSampler:
 
     def __init__(self, indptr, indices, fanouts: Sequence[int], *,
                  weights=None, edge_times=None, max_degree: Optional[int] = None,
-                 chunk: int = 256, dedup: bool = True):
+                 chunk: int = 256, dedup: bool = True,
+                 max_unique_per_hop: Optional[Sequence[int]] = None):
+        """max_unique_per_hop: optional per-hop cap on the unique-node
+        level capacity (dedup=True only) — the memory-budget lever the
+        reference implements via seeds-per-call estimation
+        (ref distributed_sampler.py:837-875 __calc_local_seeds_per_call).
+        Overflow nodes beyond the budget are dropped (their fanout slots
+        become -1 padding)."""
         self.indptr = jnp.asarray(indptr)
         self.indices = jnp.asarray(indices)
         self.fanouts = tuple(int(f) for f in fanouts)
@@ -119,6 +126,8 @@ class NeighborSampler:
         self.max_degree = max_degree
         self.chunk = chunk
         self.dedup = dedup
+        self.max_unique_per_hop = (None if max_unique_per_hop is None
+                                   else [int(x) for x in max_unique_per_hop])
         if (weights is not None or edge_times is not None) and max_degree is None:
             raise ValueError("weighted/temporal sampling needs static max_degree")
         self._sample_jit = jax.jit(
@@ -158,6 +167,14 @@ class NeighborSampler:
 
     def _sample(self, key, seeds, node_times=None, *, batch_size: int):
         caps = level_capacities(batch_size, self.fanouts)
+        if self.max_unique_per_hop is not None:
+            assert self.dedup, "capacity budgets need dedup=True"
+            for h, cap in enumerate(self.max_unique_per_hop):
+                caps[h + 1] = min(caps[h + 1], cap)
+            # downstream capacities follow the trimmed level sizes
+            for h in range(len(self.fanouts)):
+                caps[h + 1] = min(caps[h + 1],
+                                  caps[h] * (self.fanouts[h] + 1))
         levels = [seeds.astype(jnp.int32)]
         level_counts = [jnp.sum(seeds >= 0).astype(jnp.int32)]
         seed_time = node_times

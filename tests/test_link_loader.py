@@ -124,3 +124,22 @@ def test_link_pred_end_to_end(karate):
             losses.append(float(loss))
     assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.85, (
         losses[:5], losses[-5:])
+
+
+def test_triplet_negative_mode(karate):
+    """triplet: negatives share the positive sources
+    (ref sampler_utils.py triplet semantics)."""
+    gs = GraphStore()
+    gs.put_edge_index((karate.src, karate.dst), ("N", "e", "N"),
+                      num_nodes=(karate.num_nodes, karate.num_nodes))
+    fs = FeatureStore()
+    eli = np.stack([karate.src[:32], karate.dst[:32]])
+    loader = LinkNeighborLoader(
+        (fs, gs), num_neighbors=[3], edge_label_index=eli,
+        neg_sampling={"mode": "triplet", "amount": 2.0}, batch_size=8)
+    b = next(iter(loader))
+    seeds = np.asarray(b.seeds)
+    pos_src = seeds[:8]
+    neg_src = seeds[16:32]
+    # negative sources repeat the positive sources (2 each)
+    np.testing.assert_array_equal(neg_src, np.repeat(pos_src, 2))

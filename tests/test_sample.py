@@ -136,3 +136,23 @@ def test_masked_uniform_sample_respects_filter(rng):
         valid_edges = np.arange(indptr[s], indptr[s + 1])
         n_valid = (times[valid_edges] <= 50).sum()
         assert len(row) == min(n_valid, 8)
+
+
+def test_capacity_budget(rng):
+    """max_unique_per_hop trims level capacities (the reference's
+    memory-budgeted call groups, ref distributed_sampler.py:837-875);
+    overflow edges become padding but survivors stay consistent."""
+    from cugraph_gnn_tpu.sampler import NeighborSampler
+    indptr, indices = make_csr(rng, num_nodes=300, num_edges=6000)
+    s = NeighborSampler(indptr, indices, [8, 8],
+                        max_unique_per_hop=[40, 100])
+    seeds = jnp.asarray(rng.choice(300, 16, replace=False), jnp.int32)
+    b = s.sample(jax.random.PRNGKey(0), seeds)
+    assert b.levels[1].shape[0] == 40
+    assert b.levels[2].shape[0] == 100
+    for li, hop in enumerate(b.hops):
+        lvl = np.asarray(b.levels[li + 1])
+        nl = np.asarray(hop.neigh_local)
+        ng = np.asarray(hop.neigh_global)
+        ok = nl >= 0
+        np.testing.assert_array_equal(lvl[nl[ok]], ng[ok])
