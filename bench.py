@@ -69,7 +69,7 @@ def main():
         indices = jax.random.randint(
             jax.random.PRNGKey(0), (num_edges,), 0, NUM_NODES, jnp.int32)
         feats = jax.random.normal(
-            jax.random.PRNGKey(1), (NUM_NODES, FEAT_DIM), jnp.float32)
+            jax.random.PRNGKey(1), (NUM_NODES, FEAT_DIM), jnp.bfloat16)
         labels = jax.random.randint(
             jax.random.PRNGKey(2), (NUM_NODES,), 0, CLASSES, jnp.int32)
         return indptr, indices, feats, labels
@@ -78,8 +78,10 @@ def main():
     log(f"device data ready in {time.perf_counter()-t:.1f}s "
         f"({num_edges} edges)")
 
+    # bf16 features + activations (f32 params/optimizer): standard TPU
+    # training precision; halves gather bytes and doubles MXU rate.
     model = GraphSAGE(hidden_features=HIDDEN, out_features=CLASSES,
-                      num_layers=len(FANOUTS))
+                      num_layers=len(FANOUTS), dtype=jnp.bfloat16)
     seeds0 = jnp.arange(BATCH, dtype=jnp.int32)
     t = time.perf_counter()
     sample0 = jax.block_until_ready(jax.jit(
@@ -107,7 +109,7 @@ def main():
         y = labels[jnp.clip(seeds, 0)]
 
         def loss_fn(p):
-            logits = model.apply(p, x, sample)
+            logits = model.apply(p, x, sample).astype(jnp.float32)
             valid = seeds >= 0
             ls = optax.softmax_cross_entropy_with_integer_labels(logits, y)
             return jnp.sum(jnp.where(valid, ls, 0)) / jnp.maximum(
