@@ -23,7 +23,6 @@ from typing import Dict, List, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from cugraph_gnn_tpu.ops.csr import coo_to_csr_np
 
 EdgeType = Tuple[str, str, str]
 

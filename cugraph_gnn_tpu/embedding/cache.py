@@ -24,7 +24,7 @@ device HBM holds hot rows.  TPU redesign:
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ functions see only dense (U, F) blocks: pure VPU/MXU food.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax.numpy as jnp
 

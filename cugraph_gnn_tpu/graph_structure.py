@@ -11,7 +11,7 @@ The TPU version wraps :class:`~cugraph_gnn_tpu.sampler.NeighborSampler`
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

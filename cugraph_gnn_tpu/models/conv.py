@@ -15,7 +15,7 @@ Each conv exposes:
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -14,8 +14,6 @@ gather_op_impl_nccl.cu:89-157) — lives in store/dist_array.py.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -58,7 +58,7 @@ def build_padded_blocks(indptr, indices, edge_tile: int = 512) -> PaddedCSR:
                      (e + pad) // edge_tile, n)
 
 
-def _spmm_kernel(cols_ref, rows_ref, x_hbm, out_ref, acc_ref, row_state,
+def _spmm_kernel(cols_ref, rows_ref, x_hbm, out_ref, acc_ref,
                  sem, *, edge_tile, feat, num_rows):
     """One grid step = one edge tile.  Edges are globally sorted by
     destination row, so each output row's contributions are contiguous;
@@ -105,7 +105,6 @@ def csr_spmm_pallas(padded: PaddedCSR, x, reduce: str = "sum"):
         out_shape=jax.ShapeDtypeStruct((n, f), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((1, f), x.dtype),
-            pltpu.SMEM((2,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

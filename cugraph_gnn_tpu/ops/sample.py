@@ -32,8 +32,7 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -88,11 +87,10 @@ def floyd_positions(u, degrees, fanout: int):
         pick = jnp.where(dup, m, t)
         return jax.lax.dynamic_update_slice(sel, pick[:, None], (0, i))
 
-    # fori_loop with full unroll: the k bodies fuse into one XLA kernel
-    # (sequential fori_loop costs ~50us launch overhead per iteration on
-    # TPU; k is small so the unrolled program stays compact).  The init
-    # carry is derived from `u` so its manual-axes "varying" type matches
-    # the body output when this runs inside shard_map.
+    # fori_loop (not an unrolled Python loop): keeps the program size
+    # O(1) in fanout; measured equal to full unroll at k=10 on v5e.  The
+    # init carry derives from `u` and `d` so its manual-axes "varying"
+    # type matches the body output when this runs inside shard_map.
     init = ((u[:, :1] * 0).astype(jnp.int32) + d[:, None] * 0 - 1
             + jnp.zeros((s, k), jnp.int32))
     sel = jax.lax.fori_loop(0, k, body, init)

@@ -19,7 +19,7 @@ communicators / MT_HIERARCHY memory) maps to a 2D mesh
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

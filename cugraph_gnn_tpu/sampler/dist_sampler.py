@@ -18,8 +18,7 @@ fixed-fanout result blocks back.
 
 from __future__ import annotations
 
-import functools
-from typing import List, NamedTuple, Optional, Sequence
+from typing import List, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp

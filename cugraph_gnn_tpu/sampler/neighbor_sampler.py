@@ -17,7 +17,6 @@ reference's `local_seeds_per_call` fixed call groups.
 
 from __future__ import annotations
 
-import functools
 from typing import List, Optional, Sequence
 
 import jax

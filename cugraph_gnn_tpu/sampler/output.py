@@ -23,7 +23,7 @@ num_sampled_nodes/num_sampled_edges) for API parity.
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Optional
+from typing import List, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -7,8 +7,6 @@ with ``local_col/local_row/local_coo`` computed by even-partition slice.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
