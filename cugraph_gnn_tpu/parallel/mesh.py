@@ -61,3 +61,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def axis_size(mesh: Mesh, axis: str = STORE_AXIS) -> int:
     return mesh.shape[axis]
+
+
+def split_mesh(mesh: Mesh, group_size: int, axis: str = STORE_AXIS):
+    """Split a 1-D mesh into disjoint sub-meshes of ``group_size``
+    devices (the reference's communicator split,
+    ref wholememory.h:160-163 / comm.py:173-188 split_communicator).
+
+    Returns the list of sub-meshes in rank order; collectives inside a
+    sub-mesh only involve its devices.
+    """
+    devs = list(mesh.devices.reshape(-1))
+    assert len(devs) % group_size == 0, (len(devs), group_size)
+    return [
+        Mesh(np.asarray(devs[i:i + group_size]), (axis,))
+        for i in range(0, len(devs), group_size)
+    ]

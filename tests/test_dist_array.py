@@ -140,3 +140,17 @@ def test_dist_array_round_robin_gather(mesh, rng):
     np.add.at(expect2, ids[ok], vals[ok])
     np.testing.assert_allclose(arr.to_global(), expect2, rtol=1e-5,
                                atol=1e-5)
+
+
+def test_split_mesh(mesh, rng):
+    """Sub-group meshes (communicator split parity): a DistArray on a
+    2-device sub-mesh only spans those devices."""
+    from cugraph_gnn_tpu.parallel.mesh import split_mesh
+    subs = split_mesh(mesh, 2)
+    assert len(subs) == 4
+    host = rng.standard_normal((20, 4)).astype(np.float32)
+    arr = DistArray.from_array(host, subs[1])
+    assert arr.world == 2
+    ids = rng.integers(0, 20, 8).astype(np.int32)
+    np.testing.assert_allclose(
+        np.asarray(arr.gather(jnp.asarray(ids))), host[ids], rtol=1e-6)

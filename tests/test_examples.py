@@ -1,0 +1,62 @@
+"""Smoke tests: every example must run end-to-end with tiny settings
+(the reference gates examples in CI similarly, ref
+ci/run_cugraph_pyg_pytests.sh)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(os.environ, JAX_PLATFORMS="cpu",
+           JAX_NUM_CPU_DEVICES="8", PYTHONPATH=REPO)
+
+SNIPPET = (
+    "import jax; jax.config.update('jax_platforms','cpu'); "
+    "jax.config.update('jax_num_cpu_devices',8); "
+    "import sys; sys.argv=[sys.argv[0]]+ARGS; "
+    "exec(open(SCRIPT).read())"
+)
+
+
+def run_example(script, args, timeout=240):
+    code = SNIPPET.replace("ARGS", repr(args)).replace(
+        "SCRIPT", repr(os.path.join(REPO, "examples", script)))
+    r = subprocess.run([sys.executable, "-c", code], env=ENV, cwd=REPO,
+                       capture_output=True, text=True, timeout=timeout)
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-1500:])
+    return r
+
+
+def test_node_classification_example():
+    run_example("node_classification.py",
+                ["--dataset", "karate", "--epochs", "2",
+                 "--batch-size", "16", "--neighbors", "4,4"])
+
+
+def test_link_prediction_example():
+    run_example("link_prediction.py",
+                ["--epochs", "2", "--batch-size", "16",
+                 "--neighbors", "3,3"])
+
+
+def test_rgcn_hetero_example():
+    run_example("rgcn_hetero.py",
+                ["--epochs", "1", "--batch-size", "32",
+                 "--num-papers", "200", "--num-authors", "100",
+                 "--num-insts", "20"])
+
+
+def test_multichip_example():
+    run_example("multichip_training.py",
+                ["--devices", "8", "--steps", "2", "--num-nodes", "512",
+                 "--num-edges", "4096", "--batch-size", "64"],
+                timeout=400)
+
+
+def test_ogbn_convert_example(tmp_path):
+    run_example("ogbn_convert.py",
+                ["--out", str(tmp_path), "--synthetic", "200", "800", "16",
+                 "--parts", "4"])
+    assert (tmp_path / "meta.json").exists()
