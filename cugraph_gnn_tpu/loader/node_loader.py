@@ -151,7 +151,13 @@ class NeighborLoader(NodeLoader):
                  batch_size: int = 512, shuffle: bool = False,
                  drop_last: bool = False, weight_attr: Optional[str] = None,
                  time_attr: Optional[str] = None, input_time=None,
-                 seed: int = 0, **kwargs):
+                 seed: int = 0, dedup: bool = True,
+                 max_unique_per_hop: Optional[Sequence[int]] = None,
+                 **kwargs):
+        """dedup=False selects the zero-sort static renumbering layout
+        (the TPU fast path — the reference's deduplicate_sources=False,
+        ref neighbor_loader.py:208-210); max_unique_per_hop caps level
+        capacities (memory budget)."""
         feature_store, graph_store = data
         graph = graph_store.finalize()
         if graph.is_homogeneous:
@@ -171,7 +177,8 @@ class NeighborLoader(NodeLoader):
                 maxdeg = graph.max_degree_by_etype[et]
             sampler = NeighborSampler(
                 indptr, indices, num_neighbors, weights=weights,
-                edge_times=times, max_degree=maxdeg)
+                edge_times=times, max_degree=maxdeg, dedup=dedup,
+                max_unique_per_hop=max_unique_per_hop)
         else:
             from cugraph_gnn_tpu.sampler.hetero import HeteroNeighborSampler
             sampler = HeteroNeighborSampler(graph, num_neighbors)

@@ -157,3 +157,20 @@ def test_feature_store_padding(rng):
     assert out.shape == (2, 128)
     np.testing.assert_array_equal(out[:, :100], x[[3, 7]])
     np.testing.assert_array_equal(out[:, 100:], 0)
+
+
+def test_neighbor_loader_fast_path(karate):
+    """dedup=False loader path: batches remain model-consumable."""
+    from cugraph_gnn_tpu.models import GraphSAGE
+    fs, gs = make_stores(karate)
+    loader = NeighborLoader((fs, gs), num_neighbors=[4, 4], batch_size=8,
+                            dedup=False)
+    b = next(iter(loader))
+    # static layout: levels grow as t*(k+1)
+    assert b.sample.levels[1].shape[0] == 8 * 5
+    assert b.sample.levels[2].shape[0] == 8 * 5 * 5
+    model = GraphSAGE(hidden_features=8, out_features=2, num_layers=2)
+    params = model.init(jax.random.PRNGKey(0), b.x, b.sample)
+    out = model.apply(params, b.x, b.sample)
+    assert out.shape == (8, 2)
+    assert np.isfinite(np.asarray(out)).all()
