@@ -41,3 +41,18 @@ def test_spmm_kernel_interpret(rng):
                       jnp.asarray(x), reduce="sum")
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_window_select_neighbors_interpret(rng):
+    from cugraph_gnn_tpu.ops.pallas.sample_kernel import (
+        window_select_neighbors,
+    )
+    E, S, K = 5000, 200, 10
+    indices = rng.integers(0, 1 << 30, E).astype(np.int32)
+    start = rng.integers(0, E - 200, S).astype(np.int32)
+    pos = rng.integers(0, 100, (S, K)).astype(np.int32)
+    with pltpu.force_tpu_interpret_mode():
+        out = window_select_neighbors(
+            jnp.asarray(indices), jnp.asarray(start), jnp.asarray(pos))
+    expect = indices[start[:, None] + pos]
+    np.testing.assert_array_equal(np.asarray(out), expect)
