@@ -18,11 +18,19 @@ from cugraph_gnn_tpu.ops.sddmm import (
     fanout_attention_softmax,
     fanout_sddmm,
 )
-from cugraph_gnn_tpu.ops.spmm import csr_spmm, fanout_aggregate, segment_spmm
+from cugraph_gnn_tpu.ops.spmm import (
+    EllBuckets,
+    csr_spmm,
+    ell_spmm,
+    fanout_aggregate,
+    segment_spmm,
+)
 from cugraph_gnn_tpu.ops.unique import AppendUniqueOutput, append_unique
 
 __all__ = [
     "CSR",
+    "EllBuckets",
+    "ell_spmm",
     "SampleOutput",
     "AppendUniqueOutput",
     "append_unique",

@@ -1,16 +1,36 @@
+from cugraph_gnn_tpu.sampler.dist_sampler import DistGraph, DistNeighborSampler
+from cugraph_gnn_tpu.sampler.hetero import HeteroMultihopBatch, HeteroNeighborSampler
+from cugraph_gnn_tpu.sampler.negative import NegativeSampling, sample_negative_edges
 from cugraph_gnn_tpu.sampler.neighbor_sampler import (
     NeighborSampler,
     level_capacities,
+    multihop_uniform,
     uniform_sample_np,
 )
-from cugraph_gnn_tpu.sampler.output import COOSample, HopBlock, MultihopBatch, to_coo
+from cugraph_gnn_tpu.sampler.output import (
+    COOSample,
+    CSCSample,
+    HopBlock,
+    MultihopBatch,
+    to_coo,
+    to_csc,
+)
 
 __all__ = [
     "COOSample",
+    "CSCSample",
+    "DistGraph",
+    "DistNeighborSampler",
+    "HeteroMultihopBatch",
+    "HeteroNeighborSampler",
     "HopBlock",
     "MultihopBatch",
+    "NegativeSampling",
     "NeighborSampler",
     "level_capacities",
+    "multihop_uniform",
+    "sample_negative_edges",
     "to_coo",
+    "to_csc",
     "uniform_sample_np",
 ]
