@@ -156,3 +156,39 @@ def test_capacity_budget(rng):
         ng = np.asarray(hop.neigh_global)
         ok = nl >= 0
         np.testing.assert_array_equal(lvl[nl[ok]], ng[ok])
+
+
+def test_edge_uniform_host_mirror():
+    """edge_uniform_np must match the device hash bit-exactly
+    (the weighted path's counter-based RNG; analog of the reference's
+    raft-PCG host replay)."""
+    key = jax.random.PRNGKey(42)
+    eids = np.arange(0, 100000, 37, dtype=np.int64)
+    dev = np.asarray(sample_ops._edge_uniform(key, jnp.asarray(eids)))
+    host = sample_ops.edge_uniform_np(key, eids)
+    np.testing.assert_array_equal(dev, host)
+
+
+def test_weighted_sample_matches_host_replay(rng):
+    """Exact host replay of the weighted (Gumbel top-k) selection."""
+    indptr, indices = make_csr(rng, num_nodes=100, num_edges=1500)
+    weights = (rng.random(len(indices)).astype(np.float32) + 0.05)
+    seeds = rng.choice(100, 32, replace=False)
+    k = 6
+    max_deg = int((indptr[1:] - indptr[:-1]).max())
+    key = jax.random.PRNGKey(11)
+    out = sample_ops.weighted_sample(
+        key, jnp.asarray(indptr), jnp.asarray(indices),
+        jnp.asarray(weights), jnp.asarray(seeds), k, max_degree=max_deg)
+    # host replay: same per-edge uniforms -> same gumbel scores -> top-k
+    base = jax.random.fold_in(key, 0)
+    for i, s in enumerate(seeds):
+        lo, hi = int(indptr[s]), int(indptr[s + 1])
+        eids = np.arange(lo, hi, dtype=np.int64)
+        u = sample_ops.edge_uniform_np(base, eids).astype(np.float64)
+        tiny = np.float32(1.1754944e-38)
+        g = -np.log(-np.log(np.maximum(u, tiny)))
+        score = np.log(np.maximum(weights[lo:hi], 1e-38)) + g
+        want = set((lo + np.argsort(-score)[: min(k, hi - lo)]).tolist())
+        got = set(int(e) for e in np.asarray(out.edge_ids[i]) if e >= 0)
+        assert got == want, (i, s, got, want)
