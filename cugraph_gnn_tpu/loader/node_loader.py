@@ -138,6 +138,12 @@ class NodeLoader:
             self.input_type, self.y_attr)
         if key not in self.feature_store:
             return None
+        if self.input_type is not None:
+            # Seeds carry global (offset) ids, but the per-type label
+            # tensor is indexed by type-local ids — de-offset before the
+            # gather, keeping -1 pads invalid (mirrors _gather_x above).
+            off = self.graph_store.node_offset(self.input_type)
+            seeds = jnp.where(seeds >= 0, seeds - off, -1)
         return self.feature_store.get_tensor(*key, ids=seeds)
 
 
@@ -180,8 +186,32 @@ class NeighborLoader(NodeLoader):
                 edge_times=times, max_degree=maxdeg, dedup=dedup,
                 max_unique_per_hop=max_unique_per_hop)
         else:
+            from cugraph_gnn_tpu.data.graph_store import edge_type_str
             from cugraph_gnn_tpu.sampler.hetero import HeteroNeighborSampler
-            sampler = HeteroNeighborSampler(graph, num_neighbors)
+
+            # weight_attr -> biased, time_attr -> temporal, per edge type
+            # (ref neighbor_loader.py:173-190 pulls the edge property
+            # tensors from the feature store keyed by edge type).
+            def _collect(attr):
+                if attr is None:
+                    return None
+                out = {}
+                for et in graph.etypes:
+                    ekey = edge_type_str(et)
+                    if (ekey, attr) in feature_store:
+                        v = feature_store.get_tensor(ekey, attr)
+                        out[et] = _edge_attr_to_csr_order(
+                            graph_store, graph, et, v)
+                if not out:
+                    raise KeyError(
+                        f"no edge type has attribute {attr!r} in the "
+                        "feature store (keys are (edge_type_str, attr))")
+                return out
+
+            sampler = HeteroNeighborSampler(
+                graph, num_neighbors,
+                weights_by_etype=_collect(weight_attr),
+                times_by_etype=_collect(time_attr))
         super().__init__(data, sampler, input_nodes=input_nodes,
                          batch_size=batch_size, shuffle=shuffle,
                          drop_last=drop_last, input_time=input_time,

@@ -35,10 +35,12 @@ def local_scatter(table, ids, rows):
     buffers.
     """
     valid = ids >= 0
-    safe = jnp.where(valid, ids, 0)
-    cur = table[safe]
-    rows = jnp.where(valid[..., None], rows.astype(table.dtype), cur)
-    return table.at[safe].set(rows, mode="drop", unique_indices=False)
+    # Route invalid ids out of range and let mode='drop' skip them —
+    # mapping them to row 0 would race with a genuine write to row 0
+    # (duplicate-index set is order-nondeterministic).
+    safe = jnp.where(valid, ids, table.shape[0])
+    return table.at[safe].set(rows.astype(table.dtype), mode="drop",
+                              unique_indices=False)
 
 
 def local_scatter_add(table, ids, rows):

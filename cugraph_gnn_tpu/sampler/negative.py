@@ -40,25 +40,49 @@ def _weighted_choice(key, n, shape, weight=None):
 
 def sample_negative_edges(key, num_src: int, num_dst: int, count: int,
                           config: NegativeSampling,
-                          edge_key_sorted: Optional[jax.Array] = None):
+                          edge_key_sorted: Optional[jax.Array] = None,
+                          node_time: Optional[jax.Array] = None,
+                          seed_time: Optional[jax.Array] = None,
+                          time_retries: int = 10):
     """Draw ``count`` negative (src, dst) pairs.
 
     edge_key_sorted: optional sorted array of src*num_dst+dst keys of the
     true edges; sampled pairs colliding with a true edge get dst
     re-drawn once and are masked out if still colliding (bounded work,
     no dynamic loop).
+
+    node_time/seed_time: temporal constraint (PyG semantics, ref
+    sampler_utils.py:213-311 rejection-resampling loop): negative dst d
+    for a positive with seed time t must satisfy node_time[d] <= t.
+    Violating draws are re-drawn up to ``time_retries`` times via a
+    static lax.scan; survivors are marked -1 for callers to mask.
     """
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     src = _weighted_choice(k1, num_src, (count,), config.src_weight)
     dst = _weighted_choice(k2, num_dst, (count,), config.dst_weight)
+    if node_time is not None and seed_time is not None:
+        node_time = jnp.asarray(node_time)
+        seed_time = jnp.broadcast_to(jnp.asarray(seed_time), (count,))
+
+        def body(d, kk):
+            bad = node_time[d] > seed_time
+            redraw = _weighted_choice(kk, num_dst, (count,),
+                                      config.dst_weight)
+            return jnp.where(bad, redraw, d), None
+
+        dst, _ = jax.lax.scan(body, dst, jax.random.split(k4, time_retries))
+        dst = jnp.where(node_time[dst] > seed_time, -1, dst)
+        src = jnp.where(dst < 0, -1, src)
     if edge_key_sorted is not None:
         def is_edge(s, d):
-            kk = s.astype(jnp.int64) * num_dst + d
+            kk = s.astype(jnp.int64) * num_dst + jnp.maximum(d, 0)
             pos = jnp.searchsorted(edge_key_sorted, kk)
             pos = jnp.clip(pos, 0, edge_key_sorted.shape[0] - 1)
-            return edge_key_sorted[pos] == kk
+            return (edge_key_sorted[pos] == kk) & (s >= 0) & (d >= 0)
         hit = is_edge(src, dst)
         dst2 = _weighted_choice(k3, num_dst, (count,), config.dst_weight)
+        if node_time is not None and seed_time is not None:
+            hit = hit & (node_time[dst2] <= seed_time)
         dst = jnp.where(hit, dst2, dst)
         still = is_edge(src, dst)
         # mark unresolved collisions invalid (-1); callers mask them
@@ -68,9 +92,28 @@ def sample_negative_edges(key, num_src: int, num_dst: int, count: int,
 
 
 def neg_cat(pos, neg, batch_size: int):
-    """Interleave positive and negative blocks batch-wise
-    (ref sampler_utils.py:318-336 neg_cat)."""
-    return jnp.concatenate([pos, neg])
+    """Interleave positive and negative blocks batch-wise: the output is
+    [pos batch 0 | neg batch 0 | pos batch 1 | neg batch 1 | ...] with
+    ``batch_size`` positives per batch and negatives split evenly across
+    batches (ref sampler_utils.py:318-336 neg_cat)."""
+    pos = jnp.asarray(pos)
+    neg = jnp.asarray(neg)
+    n_pos = pos.shape[0]
+    n_batches = -(-n_pos // batch_size) if batch_size else 1
+    if n_batches <= 1:
+        return jnp.concatenate([pos, neg])
+    if n_pos % n_batches == 0 and neg.shape[0] % n_batches == 0:
+        p = pos.reshape((n_batches, n_pos // n_batches) + pos.shape[1:])
+        n = neg.reshape((n_batches, neg.shape[0] // n_batches)
+                        + neg.shape[1:])
+        return jnp.concatenate([p, n], axis=1).reshape(
+            (n_pos + neg.shape[0],) + pos.shape[1:])
+    # uneven split: host-side chunk interleave (matches the reference's
+    # tensor_split behavior — earlier batches get the extra element)
+    p_parts = np.array_split(np.asarray(pos), n_batches)
+    n_parts = np.array_split(np.asarray(neg), n_batches)
+    out = [x for pp, nn in zip(p_parts, n_parts) for x in (pp, nn)]
+    return jnp.asarray(np.concatenate(out))
 
 
 def make_edge_key_sorted(src, dst, num_dst: int):

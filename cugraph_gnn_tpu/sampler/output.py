@@ -101,7 +101,14 @@ class CSCSample(NamedTuple):
 
 
 def to_csc(batch: MultihopBatch) -> CSCSample:
-    """CSC view of a multihop batch (dst-major compressed)."""
+    """CSC view of a multihop batch (dst-major compressed).
+
+    Valid entries are compacted to the front in row-major (= column-
+    grouped) order with a stable sort, so ``row[colptr[i]:colptr[i+1]]``
+    really is column i's entries — a consumable CSC like the reference
+    decoder's (ref cugraph_pyg/sampler/sampler.py:525-640).  Slots past
+    ``colptr[-1]`` are -1 padding.
+    """
     colptrs, rows, edges, n_edges = [], [], [], []
     for hop in batch.hops:
         s, k = hop.neigh_local.shape
@@ -109,11 +116,14 @@ def to_csc(batch: MultihopBatch) -> CSCSample:
         cnt = jnp.sum(m, axis=1).astype(jnp.int32)
         colptr = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt)])
-        # compact valid entries to the row-major front of each row is
-        # unnecessary: emit padded row-major slots with -1 (consumers
-        # mask), colptr counts only valid entries
-        rows.append(jnp.where(m, hop.neigh_local, -1).reshape(-1))
-        edges.append(jnp.where(m, hop.edge_ids, -1).reshape(-1))
+        flat_m = m.reshape(-1)
+        # stable partition: valid entries first, original (column-major-
+        # grouped) order preserved
+        order = jnp.argsort(~flat_m, stable=True)
+        rows.append(jnp.where(flat_m, hop.neigh_local.reshape(-1),
+                              -1)[order])
+        edges.append(jnp.where(flat_m, hop.edge_ids.reshape(-1),
+                               -1)[order])
         colptrs.append(colptr)
         n_edges.append(jnp.sum(m).astype(jnp.int32))
     counts = [batch.level_counts[0]] + [

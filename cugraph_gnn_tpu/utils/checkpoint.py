@@ -75,11 +75,30 @@ def load_filelist(filelist: Sequence[str], dtype, row_size: int,
     sizes = [os.path.getsize(f) // (dtype.itemsize * row_size)
              for f in filelist]
     total = sum(sizes)
+    out_w = entry_stride or row_size
+    if book is not None and rank is not None and not isinstance(
+            book, PartitionBook):
+        # Non-contiguous ownership (e.g. RoundRobinBook): book.offsets
+        # are logical per-rank counts, NOT global row ranges — gather the
+        # rank's rows by explicit id mapping (ref file_io.cpp:665-1541
+        # round-robin load paths).
+        gids = np.nonzero(
+            book.owner_of_np(np.arange(total, dtype=np.int64)) == rank)[0]
+        loc = book.local_offset_np(gids)
+        out = np.zeros((len(gids), out_w), dtype)
+        row0 = 0
+        for f, n in zip(filelist, sizes):
+            sel = (gids >= row0) & (gids < row0 + n)
+            if sel.any():
+                mm = np.memmap(f, dtype=dtype, mode="r",
+                               shape=(n, row_size))
+                out[loc[sel], :row_size] = mm[gids[sel] - row0]
+            row0 += n
+        return out
     if book is None or rank is None:
         lo, hi = 0, total
     else:
         lo, hi = int(book.offsets[rank]), int(book.offsets[rank + 1])
-    out_w = entry_stride or row_size
     out = np.zeros((hi - lo, out_w), dtype)
     row0 = 0
     for f, n in zip(filelist, sizes):
@@ -125,10 +144,10 @@ def _unpad(dist_array):
     return dist_array.to_global()
 
 
-def _unpad_raw(padded: np.ndarray, book: PartitionBook) -> np.ndarray:
-    parts = []
-    for r in range(book.world_size):
-        n = int(book.counts[r])
-        start = r * book.shard_size
-        parts.append(padded[start:start + n])
-    return np.concatenate(parts)
+def _unpad_raw(padded: np.ndarray, book) -> np.ndarray:
+    """Padded (world*shard_size) layout -> global row order; handles any
+    book layout (contiguous ranges or round-robin) via the id mapping."""
+    gids = np.arange(book.total, dtype=np.int64)
+    own = book.owner_of_np(gids)
+    loc = book.local_offset_np(gids)
+    return padded[own * book.shard_size + loc]
