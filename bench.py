@@ -22,13 +22,19 @@ def log(msg):
 # Round-1 pinned reference point: end-of-round-1 measurement on one TPU
 # v5e chip with dependency-forced timing (7.85 ms/iter full GraphSAGE
 # train step = 15.65M sampled edges/s).  Later rounds' vs_baseline
-# shows progress relative to this.  Update only when the bench
-# definition changes.
+# shows progress relative to this.  Kept across the round-2 switch to a
+# power-law degree graph (below) so the trend stays comparable.
 BASELINE_EDGES_PER_S = 1.565e7
 
-# ogbn-products scale: 2.45M nodes, ~124M directed edges
+# ogbn-products scale: 2.45M nodes, ~122M directed edges.  Round 2:
+# degrees follow a Pareto-ish power law (deg = clip(floor(25 u^-0.5),
+# 1, 17000) -> mean ~46, max ~17k, like products' skew) instead of the
+# round-1 constant degree 50 — the skewed tail stresses Floyd's
+# small-degree path and the hybrid window/per-entry neighbor-id gather.
 NUM_NODES = 2_449_029
-NUM_EDGES = 123_718_280
+DEG_SCALE = 25.0
+DEG_ALPHA = -0.5
+DEG_CAP = 17_000
 # products features are 100-dim; pad to the 128 TPU lane width — row
 # gather on unaligned widths is ~4x slower (measured 4.7ms -> 1.1ms for
 # the batch gather).  The loader exposes the same knob (pad_features).
@@ -55,28 +61,37 @@ def main():
 
     from cugraph_gnn_tpu.sampler.neighbor_sampler import multihop_uniform
 
-    # Generate all data ON DEVICE: the host->device tunnel collapses to
-    # ~MB/s on GB-size transfers, so the bench graph/features are
-    # device-generated (constant-degree CSR of an ogbn-products-scale
-    # uniform random graph).
+    # Power-law degrees are drawn on the HOST (cheap, and the edge count
+    # must be static for jit); the big arrays (indices, features) are
+    # generated ON DEVICE — the host->device tunnel collapses to ~MB/s
+    # on GB-size transfers.  Only the 9.8MB indptr is uploaded.
     t = time.perf_counter()
-    avg_deg = NUM_EDGES // NUM_NODES
-    num_edges = NUM_NODES * avg_deg
+    host_rng = np.random.default_rng(0)
+    deg = np.minimum(
+        np.floor(DEG_SCALE * host_rng.random(NUM_NODES) ** DEG_ALPHA),
+        DEG_CAP).astype(np.int64)
+    max_degree = int(deg.max())
+    indptr_np = np.concatenate([[0], np.cumsum(deg)]).astype(np.int32)
+    num_edges = int(indptr_np[-1])
+    # pad the edge array to a 512B-line multiple for the window gather
+    num_edges_pad = -(-num_edges // 128) * 128
+    indptr_j = jnp.asarray(indptr_np)
 
     @jax.jit
     def make_data():
-        indptr = jnp.arange(NUM_NODES + 1, dtype=jnp.int32) * avg_deg
         indices = jax.random.randint(
-            jax.random.PRNGKey(0), (num_edges,), 0, NUM_NODES, jnp.int32)
+            jax.random.PRNGKey(0), (num_edges_pad,), 0, NUM_NODES,
+            jnp.int32)
         feats = jax.random.normal(
             jax.random.PRNGKey(1), (NUM_NODES, FEAT_DIM), jnp.bfloat16)
         labels = jax.random.randint(
             jax.random.PRNGKey(2), (NUM_NODES,), 0, CLASSES, jnp.int32)
-        return indptr, indices, feats, labels
+        return indices, feats, labels
 
-    indptr_j, indices_j, feats, labels = jax.block_until_ready(make_data())
+    indices_j, feats, labels = jax.block_until_ready(make_data())
     log(f"device data ready in {time.perf_counter()-t:.1f}s "
-        f"({num_edges} edges)")
+        f"({num_edges} edges, mean deg {num_edges/NUM_NODES:.1f}, "
+        f"max deg {max_degree})")
 
     # bf16 features + activations (f32 params/optimizer): standard TPU
     # training precision; halves gather bytes and doubles MXU rate.
@@ -85,9 +100,11 @@ def main():
     seeds0 = jnp.arange(BATCH, dtype=jnp.int32)
     t = time.perf_counter()
     sample0 = jax.block_until_ready(jax.jit(
-        multihop_uniform, static_argnames=("fanouts", "dedup"))(
+        multihop_uniform,
+        static_argnames=("fanouts", "dedup", "max_degree"))(
         jax.random.PRNGKey(0), indptr_j, indices_j, seeds0, fanouts=FANOUTS,
-        dedup=False))
+        dedup=False, indices2d=indices_j.reshape(-1, 128),
+        max_degree=max_degree))
     log(f"sampler compile+run in {time.perf_counter()-t:.1f}s")
     t = time.perf_counter()
     x0 = feats[jnp.clip(sample0.input_nodes, 0)]
@@ -101,9 +118,12 @@ def main():
                    indices, feats, labels):
         # dedup=False: static renumbering layout, no sorts in the hot
         # path (model output distribution identical; see
-        # tests/test_dedup_modes.py)
+        # tests/test_dedup_modes.py).  indices2d routes neighbor-id
+        # reads through the line-window gather (9x over scalar gather).
         sample = multihop_uniform(key, indptr, indices, seeds, FANOUTS,
-                                  dedup=False)
+                                  dedup=False,
+                                  indices2d=indices.reshape(-1, 128),
+                                  max_degree=max_degree)
         inp = sample.input_nodes
         x = jnp.where((inp >= 0)[:, None], feats[jnp.clip(inp, 0)], 0)
         y = labels[jnp.clip(seeds, 0)]

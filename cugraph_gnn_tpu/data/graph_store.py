@@ -156,9 +156,13 @@ class SamplingGraph:
             # reversed: rows = destination, cols = source; native
             # counting-sort builder (cpp/csr_builder.cpp)
             from cugraph_gnn_tpu.native import build_csr
+            from cugraph_gnn_tpu.ops.window_gather import pad_to_lines
             indptr, indices, perm = build_csr(gdst, gsrc, total)
+            # pad to a 512B-line multiple so samplers can use the
+            # line-window gather (CSR positions unchanged)
             csrs[et] = (jnp.asarray(indptr, jnp.int32),
-                        jnp.asarray(indices, jnp.int32),
+                        jnp.asarray(pad_to_lines(
+                            np.asarray(indices, np.int32))),
                         edge_base)
             deg = indptr[1:] - indptr[:-1]
             maxdeg[et] = int(deg.max(initial=0))

@@ -130,11 +130,20 @@ def _empty_output(num_seeds: int, fanout: int) -> SampleOutput:
     )
 
 
-def uniform_sample(key, indptr, indices, seeds, fanout: int) -> SampleOutput:
+def uniform_sample(key, indptr, indices, seeds, fanout: int, *,
+                   indices2d=None, max_degree=None,
+                   max_window_lines: int = 4) -> SampleOutput:
     """One-hop uniform neighbor sampling without replacement.
 
     ref: wholegraph_csr_unweighted_sample_without_replacement
     (cpp/include/wholememory/wholegraph_op.h:31-54).
+
+    indices2d: optional (E/128, 128) line view of ``indices`` padded to
+    a 128 multiple (ops/window_gather.as_lines).  Routes the neighbor-id
+    reads through the line-window gather — 9x faster than the scalar
+    gather on v5e (the round-1 step bottleneck).  max_degree (static)
+    selects the pure-window fast path when the bound fits
+    ``max_window_lines`` 512B lines; otherwise a hybrid handles hub rows.
     """
     if indices.shape[0] == 0:
         return _empty_output(seeds.shape[0], fanout)
@@ -145,7 +154,15 @@ def uniform_sample(key, indptr, indices, seeds, fanout: int) -> SampleOutput:
     pos = floyd_positions(u, deg, fanout)
     valid = pos >= 0
     edge_ids = jnp.where(valid, start[:, None] + pos, NEG)
-    neighbors = jnp.where(valid, indices[jnp.clip(edge_ids, 0)], NEG).astype(jnp.int32)
+    if indices2d is not None:
+        from cugraph_gnn_tpu.ops.window_gather import gather_csr_values
+        nbr = gather_csr_values(indices2d, start, pos, degrees=deg,
+                                max_degree=max_degree,
+                                max_window_lines=max_window_lines)
+        neighbors = jnp.where(valid, nbr, NEG).astype(jnp.int32)
+    else:
+        neighbors = jnp.where(
+            valid, indices[jnp.clip(edge_ids, 0)], NEG).astype(jnp.int32)
     return SampleOutput(neighbors, edge_ids, jnp.minimum(deg, fanout))
 
 
@@ -155,19 +172,27 @@ def uniform_sample(key, indptr, indices, seeds, fanout: int) -> SampleOutput:
 
 
 def _chunked_topk(score_fn, start, deg, fanout: int, max_degree: int,
-                  chunk: int = 256):
+                  chunk: int = 256, tables=()):
     """Running top-k of per-edge scores over a ragged neighborhood.
 
-    score_fn(edge_ids, valid) -> (S, C) float32 scores (−inf for invalid).
-    Returns (positions (S, k) int32 with -1 pad, scores (S, k)).
+    score_fn(edge_ids, valid, *vals) -> (S, C) float32 scores (−inf for
+    invalid).  Returns (positions (S, k) int32 with -1 pad, scores (S, k)).
     Streamed in ``chunk``-sized slices, merging with `lax.top_k` — the
     TPU analog of the reference's warp top-k (A-ExpJ,
     ref weighted_sample_without_replacement_func.cuh:208-273).
+
+    tables: tuple of (values, values2d_or_None) per-edge attribute
+    arrays.  Each chunk's (S, C) values are delivered to score_fn: via
+    the line-window shifter (ops/window_gather.shift_window — row-gather
+    bandwidth) when a 2d line view exists and chunk % 128 == 0, else by
+    scalar gather.  Out-of-degree lanes may carry garbage; score_fn must
+    mask with ``valid`` (all callers here do).
     """
     s = start.shape[0]
     k = fanout
     n_chunks = max(-(-max_degree // chunk), 1)
     ninf = jnp.float32(-jnp.inf)
+    use_window = chunk % 128 == 0
 
     def body(carry, j):
         best_s, best_p = carry
@@ -175,7 +200,14 @@ def _chunked_topk(score_fn, start, deg, fanout: int, max_degree: int,
         pos = offs[None, :]                                     # (1, C)
         valid = pos < deg[:, None]                              # (S, C)
         eids = jnp.where(valid, start[:, None] + pos, 0)
-        scores = jnp.where(valid, score_fn(eids, valid), ninf)
+        vals = []
+        for values, values2d in tables:
+            if values2d is not None and use_window:
+                from cugraph_gnn_tpu.ops.window_gather import shift_window
+                vals.append(shift_window(values2d, start + j * chunk, chunk))
+            else:
+                vals.append(values[eids])
+        scores = jnp.where(valid, score_fn(eids, valid, *vals), ninf)
         cat_s = jnp.concatenate([best_s, scores], axis=1)
         cat_p = jnp.concatenate([best_p, jnp.broadcast_to(pos, (s, chunk))], axis=1)
         new_s, idx = jax.lax.top_k(cat_s, k)
@@ -197,9 +229,22 @@ def _gumbel_from_uniform(u):
     return -jnp.log(-jnp.log(jnp.maximum(u, tiny)))
 
 
+def _final_neighbors(indices, indices2d, start, pos, deg, max_degree,
+                     valid):
+    if indices2d is not None:
+        from cugraph_gnn_tpu.ops.window_gather import gather_csr_values
+        nbr = gather_csr_values(indices2d, start, pos, degrees=deg,
+                                max_degree=max_degree)
+        return jnp.where(valid, nbr, NEG).astype(jnp.int32)
+    eids = jnp.where(valid, start[:, None] + pos, 0)
+    return jnp.where(valid, indices[eids], NEG).astype(jnp.int32)
+
+
 def weighted_sample(key, indptr, indices, weights, seeds, fanout: int,
                     *, max_degree: int, time_filter=None,
-                    chunk: int = 256) -> SampleOutput:
+                    chunk: int = 256, indices2d=None, weights2d=None,
+                    edge_times=None, times2d=None,
+                    seed_time=None) -> SampleOutput:
     """Weighted (biased) sampling without replacement via Gumbel top-k.
 
     P(select set) matches weighted reservoir sampling (A-ExpJ) — the
@@ -207,6 +252,14 @@ def weighted_sample(key, indptr, indices, weights, seeds, fanout: int,
 
     time_filter: optional callable (edge_ids) -> bool (S, C) mask for
     temporal-biased sampling (invalid edges can never be selected).
+    Alternatively pass edge_times (+ optional times2d line view) and
+    seed_time (S,) for the standard ``edge_time <= seed_time`` filter —
+    this form rides the window gather instead of scalar reads.
+
+    indices2d/weights2d/times2d: optional (·/128, 128) line views of the
+    padded arrays (ops/window_gather.as_lines); each routes that array's
+    per-edge reads through the line-window gather (row-gather bandwidth
+    instead of one 512B line per scalar).
     """
     if indices.shape[0] == 0:
         return _empty_output(seeds.shape[0], fanout)
@@ -214,48 +267,74 @@ def weighted_sample(key, indptr, indices, weights, seeds, fanout: int,
     start = indptr[seeds].astype(jnp.int32)
     deg = (indptr[seeds + 1] - indptr[seeds]).astype(jnp.int32)
     base = jax.random.fold_in(key, 0)
+    tables = [(weights, weights2d)]
+    use_time = time_filter is None and edge_times is not None \
+        and seed_time is not None
+    if use_time:
+        tables.append((edge_times, times2d))
 
-    def score_fn(eids, valid):
+    def score_fn(eids, valid, w, *rest):
         u = _edge_uniform(base, eids)
         g = _gumbel_from_uniform(u)
-        w = weights[eids].astype(jnp.float32)
+        w = w.astype(jnp.float32)
         score = jnp.where(w > 0, jnp.log(jnp.maximum(w, 1e-38)) + g, -jnp.inf)
         if time_filter is not None:
             score = jnp.where(time_filter(eids), score, -jnp.inf)
+        elif use_time:
+            score = jnp.where(rest[0] <= seed_time[:, None], score, -jnp.inf)
         return jnp.where(valid, score, -jnp.inf)
 
-    pos, _ = _chunked_topk(score_fn, start, deg, fanout, max_degree, chunk)
+    pos, _ = _chunked_topk(score_fn, start, deg, fanout, max_degree, chunk,
+                           tables=tuple(tables))
     valid = pos >= 0
     edge_ids = jnp.where(valid, start[:, None] + pos, NEG)
-    neighbors = jnp.where(valid, indices[jnp.clip(edge_ids, 0)], NEG).astype(jnp.int32)
+    neighbors = _final_neighbors(indices, indices2d, start, pos, deg,
+                                 max_degree, valid)
     return SampleOutput(neighbors, edge_ids, jnp.sum(valid, axis=1).astype(jnp.int32))
 
 
 def masked_uniform_sample(key, indptr, indices, seeds, fanout: int,
-                          *, max_degree: int, time_filter,
-                          chunk: int = 256) -> SampleOutput:
+                          *, max_degree: int, time_filter=None,
+                          chunk: int = 256, indices2d=None,
+                          edge_times=None, times2d=None,
+                          seed_time=None) -> SampleOutput:
     """Uniform sampling restricted to edges passing ``time_filter``
     (temporal sampling, ref distributed_sampler.py:53-94 temporal
     variants).  Bottom-k of iid uniform keys over valid edges == uniform
     without replacement over the valid set.
+
+    Either time_filter (generic callable on edge ids) or
+    edge_times (+ optional times2d) with seed_time must be given; the
+    latter uses the line-window gather for the time reads.
     """
     if indices.shape[0] == 0:
         return _empty_output(seeds.shape[0], fanout)
+    if time_filter is None and (edge_times is None or seed_time is None):
+        raise ValueError("need time_filter or (edge_times, seed_time)")
     seeds = seeds.astype(jnp.int32)
     start = indptr[seeds].astype(jnp.int32)
     deg = (indptr[seeds + 1] - indptr[seeds]).astype(jnp.int32)
     base = jax.random.fold_in(key, 1)
+    tables = []
+    use_time = time_filter is None
+    if use_time:
+        tables.append((edge_times, times2d))
 
-    def score_fn(eids, valid):
+    def score_fn(eids, valid, *vals):
         u = _edge_uniform(base, eids)
         score = -u  # top-k of -u == bottom-k of u
-        ok = time_filter(eids) & valid
+        if time_filter is not None:
+            ok = time_filter(eids) & valid
+        else:
+            ok = (vals[0] <= seed_time[:, None]) & valid
         return jnp.where(ok, score, -jnp.inf)
 
-    pos, _ = _chunked_topk(score_fn, start, deg, fanout, max_degree, chunk)
+    pos, _ = _chunked_topk(score_fn, start, deg, fanout, max_degree, chunk,
+                           tables=tuple(tables))
     valid = pos >= 0
     edge_ids = jnp.where(valid, start[:, None] + pos, NEG)
-    neighbors = jnp.where(valid, indices[jnp.clip(edge_ids, 0)], NEG).astype(jnp.int32)
+    neighbors = _final_neighbors(indices, indices2d, start, pos, deg,
+                                 max_degree, valid)
     return SampleOutput(neighbors, edge_ids, jnp.sum(valid, axis=1).astype(jnp.int32))
 
 

@@ -64,11 +64,14 @@ class HeteroNeighborSampler:
     def __init__(self, graph, fanouts: Union[Sequence[int], Dict],
                  weights_by_etype: Optional[Dict] = None,
                  times_by_etype: Optional[Dict] = None):
+        from cugraph_gnn_tpu.ops.window_gather import pad_to_lines
         self.graph = graph
         self.etypes = list(graph.etypes)
-        self.weights = { _etype_str(k): jnp.asarray(v)
+        # padded to 512B-line multiples for the window gather (matches
+        # the padded per-etype CSR indices from SamplingGraph.build)
+        self.weights = { _etype_str(k): pad_to_lines(jnp.asarray(v))
                          for k, v in (weights_by_etype or {}).items() }
-        self.times = { _etype_str(k): jnp.asarray(v)
+        self.times = { _etype_str(k): pad_to_lines(jnp.asarray(v))
                        for k, v in (times_by_etype or {}).items() }
         if isinstance(fanouts, dict):
             norm = { _etype_str(k): [int(x) for x in v]
@@ -116,23 +119,29 @@ class HeteroNeighborSampler:
                 hkey = jax.random.fold_in(jax.random.fold_in(key, h), ei)
                 w = self.weights.get(ename)
                 times = self.times.get(ename)
-                tf = None
-                if times is not None and seed_time is not None:
-                    tf = (lambda times_: lambda eids:
-                          times_[eids] <= seed_time[:, None])(times)
+                ind2d = (indices.reshape(-1, 128)
+                         if indices.shape[0] % 128 == 0 else None)
+                times2d = (times.reshape(-1, 128)
+                           if times is not None else None)
+                maxdeg = self.graph.max_degree_by_etype[et]
+                et_t = times if seed_time is not None else None
+                st_t = seed_time if times is not None else None
                 if w is not None:
                     out = sample_ops.weighted_sample(
                         hkey, indptr, indices, w, safe, fan[h],
-                        max_degree=self.graph.max_degree_by_etype[et],
-                        time_filter=tf)
-                elif tf is not None:
+                        max_degree=maxdeg, indices2d=ind2d,
+                        weights2d=w.reshape(-1, 128),
+                        edge_times=et_t, times2d=times2d, seed_time=st_t)
+                elif times is not None and seed_time is not None:
                     out = sample_ops.masked_uniform_sample(
                         hkey, indptr, indices, safe, fan[h],
-                        max_degree=self.graph.max_degree_by_etype[et],
-                        time_filter=tf)
+                        max_degree=maxdeg, indices2d=ind2d,
+                        edge_times=times, times2d=times2d,
+                        seed_time=seed_time)
                 else:
                     out = sample_ops.uniform_sample(
-                        hkey, indptr, indices, safe, fan[h])
+                        hkey, indptr, indices, safe, fan[h],
+                        indices2d=ind2d, max_degree=maxdeg)
                 vm = valid_seed[:, None]
                 neighbors = jnp.where(vm, out.neighbors, -1)
                 edge_ids = jnp.where(
