@@ -42,6 +42,15 @@ class NodeBatch:
         return self.sample.seed_count
 
 
+# NodeBatch is a pytree (batch_size is static aux data) so a whole batch
+# can be passed into a jitted train step directly.
+jax.tree_util.register_pytree_node(
+    NodeBatch,
+    lambda b: ((b.sample, b.x, b.y, b.seeds, b.input_id), b.batch_size),
+    lambda bs, c: NodeBatch(*c, batch_size=bs),
+)
+
+
 class NodeLoader:
     """Base loader: shuffling + fixed-size seed batches
     (ref node_loader.py:102-166)."""

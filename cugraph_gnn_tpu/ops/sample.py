@@ -214,7 +214,13 @@ def _chunked_topk(score_fn, start, deg, fanout: int, max_degree: int,
         new_p = jnp.take_along_axis(cat_p, idx, axis=1)
         return (new_s, new_p), None
 
-    init = (jnp.full((s, k), ninf), jnp.full((s, k), -1, dtype=jnp.int32))
+    # zero-add of a per-seed value keeps the carry's varying-axes type
+    # identical to the body output when traced inside shard_map (the
+    # replicated-literal init would fail the vma check there); XLA folds
+    # the add away.
+    z = start[:, None] * 0
+    init = (jnp.full((s, k), ninf) + z.astype(jnp.float32),
+            jnp.full((s, k), -1, dtype=jnp.int32) + z)
     (best_s, best_p), _ = jax.lax.scan(
         body, init, jnp.arange(n_chunks, dtype=jnp.int32)
     )

@@ -3,22 +3,32 @@
 TPU-native replacement for the reference's sampling over MT_DISTRIBUTED
 memory (ref cpp/src/wholegraph_ops/unweighted_sample_without_replacement_nccl_func.cuh:226-377:
 NCCL-gather remote row extents, sample positions, NCCL-gather chosen
-columns) and for the bulk-synchronous multi-rank sampling of external
-libcugraph (SURVEY.md §2.4 graph partition parallelism).
+columns) and for the multi-rank variant dispatch of
+cugraph_pyg/sampler/distributed_sampler.py:53-94 (uniform / biased /
+temporal x dedup on/off).
 
 Design: the CSR is partitioned by *row* (destination node) across the
 mesh axis — each shard owns rows [r*rows_per_shard, (r+1)*rows_per_shard)
 with a rebased local indptr and its slice of the column array (global
-ids).  A sampling step routes seed ids to their owner shard (same
-bucket -> ragged all-to-all machinery as the feature gather), samples
-locally (fused Floyd kernel, zero remote row reads — better than the
-reference's two-round remote extent+column gather), and routes the
-fixed-fanout result blocks back.
+ids).  A sampling step routes seed ids (and seed times, for temporal
+variants) to their owner shard (same bucket -> ragged all-to-all
+machinery as the feature gather), samples locally (fused Floyd / Gumbel
+top-k kernels riding the line-window gather, zero remote row reads —
+better than the reference's two-round remote extent+column gather), and
+routes the fixed-fanout result blocks back.
+
+Frontier dedup (``dedup=True``) runs per shard between hops — the
+analog of the reference's per-rank ``deduplicate_sources`` — so a node
+reached twice on one shard is sampled once and its features are
+requested once in the subsequent distributed gather.  Note on overlap:
+XLA:TPU executes thunks serially within a program, so hop-(l+1)
+sampling cannot overlap hop-l feature exchange inside one jit; the
+dedup (bandwidth) is where the win is on this stack.
 """
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Sequence
+from typing import List, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -26,14 +36,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cugraph_gnn_tpu.ops import sample as sample_ops
+from cugraph_gnn_tpu.ops.unique import append_unique
 from cugraph_gnn_tpu.parallel.mesh import STORE_AXIS
+from cugraph_gnn_tpu.sampler.neighbor_sampler import level_capacities
 from cugraph_gnn_tpu.sampler.output import HopBlock, MultihopBatch
 from cugraph_gnn_tpu.store.dist_array import (
     _bucket_by_owner,
     _ragged_a2a,
     alltoallv,
+    put_global,
 )
 from cugraph_gnn_tpu.store.partition import PartitionBook
+
+_LINE = 128  # 512B HBM line, 4-byte elements (ops/window_gather.py)
+
+
+def _pad_rows(a: np.ndarray, width: int, fill) -> np.ndarray:
+    out = np.full((a.shape[0], width), fill, a.dtype)
+    out[:, : a.shape[1]] = a
+    return out
 
 
 class DistGraph(NamedTuple):
@@ -42,8 +63,12 @@ class DistGraph(NamedTuple):
     indptr: (W * (rows_per_shard+1),) sharded over axis — shard r holds
       its rebased indptr (0-based into its indices slice).
     indices: (W * max_edges_per_shard,) sharded — global column ids,
-      -1 padded per shard.
+      -1 padded per shard; per-shard slice length is a 128 multiple so
+      samplers can ride the line-window gather.
     edge_base: (W,) replicated — global edge-id offset of each shard.
+    weights / times: optional per-edge arrays sharded like ``indices``
+      (biased / temporal sampling variants).
+    max_degree: static global degree bound (chunked top-k trip count).
     book: row partition book.  mesh/axis: placement.
     """
 
@@ -53,6 +78,9 @@ class DistGraph(NamedTuple):
     book: PartitionBook
     mesh: Mesh
     axis: str
+    weights: Optional[jax.Array] = None
+    times: Optional[jax.Array] = None
+    max_degree: Optional[int] = None
 
     @property
     def rows_per_shard(self) -> int:
@@ -60,8 +88,11 @@ class DistGraph(NamedTuple):
 
     @staticmethod
     def from_global_csr(indptr, indices, mesh: Mesh,
-                        axis: str = STORE_AXIS) -> "DistGraph":
-        """Partition a host CSR row-wise onto the mesh."""
+                        axis: str = STORE_AXIS, weights=None,
+                        times=None) -> "DistGraph":
+        """Partition a host CSR row-wise onto the mesh.  ``weights`` /
+        ``times`` are optional per-edge arrays in global CSR edge order
+        (enable the biased / temporal sampling variants)."""
         indptr = np.asarray(indptr)
         indices = np.asarray(indices)
         n = len(indptr) - 1
@@ -77,27 +108,47 @@ class DistGraph(NamedTuple):
             ip = indptr[lo:hi + 1] - indptr[lo]
             shard_ip[r, : hi - lo + 1] = ip
             shard_ip[r, hi - lo + 1:] = ip[-1] if len(ip) else 0
-            sl = indices[indptr[lo]:indptr[hi]]
+            sl = slice(int(indptr[lo]), int(indptr[hi]))
             slices.append(sl)
             bases[r] = indptr[lo]
-            max_edges = max(max_edges, len(sl))
+            max_edges = max(max_edges, sl.stop - sl.start)
+        # per-shard edge slices padded to a 512B-line multiple for the
+        # window gather
+        max_edges = -(-max_edges // _LINE) * _LINE
         shard_ix = np.full((w, max_edges), -1, np.int32)
         for r, sl in enumerate(slices):
-            shard_ix[r, : len(sl)] = sl
+            shard_ix[r, : sl.stop - sl.start] = indices[sl]
         sh = NamedSharding(mesh, P(axis))
+
+        def shard_edge_attr(attr):
+            if attr is None:
+                return None
+            attr = np.asarray(attr)
+            out = np.zeros((w, max_edges), attr.dtype)
+            for r, sl in enumerate(slices):
+                out[r, : sl.stop - sl.start] = attr[sl]
+            return put_global(out.reshape(-1), sh)
+
+        deg = indptr[1:] - indptr[:-1]
         return DistGraph(
-            indptr=jax.device_put(shard_ip.reshape(-1), sh),
-            indices=jax.device_put(shard_ix.reshape(-1), sh),
-            edge_base=jax.device_put(bases, NamedSharding(mesh, P())),
-            book=book, mesh=mesh, axis=axis)
+            indptr=put_global(shard_ip.reshape(-1), sh),
+            indices=put_global(shard_ix.reshape(-1), sh),
+            edge_base=put_global(bases, NamedSharding(mesh, P())),
+            book=book, mesh=mesh, axis=axis,
+            weights=shard_edge_attr(weights),
+            times=shard_edge_attr(times),
+            max_degree=int(deg.max(initial=0)))
 
 
 def _one_hop_shard(indptr, indices, edge_base, key, seeds, *, fanout: int,
-                   book: PartitionBook, axis: str):
-    """Per-shard body: route seeds to owners, sample locally, route back.
+                   book: PartitionBook, axis: str, weights=None, times=None,
+                   seed_time=None, max_degree: Optional[int] = None):
+    """Per-shard body: route seeds (and their times) to owners, sample
+    locally with the matching variant kernel, route back.
 
-    indptr: (rows_per_shard+1,) local.  indices: (max_edges,) local.
-    seeds: (B,) local query seeds (global ids, -1 pad).
+    indptr: (rows_per_shard+1,) local.  indices: (max_edges,) local,
+    128-multiple length.  seeds: (B,) local query seeds (global ids,
+    -1 pad).  seed_time: (B,) local per-seed times (temporal variants).
     Returns (neighbors (B,k), edge_ids (B,k), num_sampled (B,)).
     """
     b = seeds.shape[0]
@@ -106,6 +157,11 @@ def _one_hop_shard(indptr, indices, edge_base, key, seeds, *, fanout: int,
     sorted_ids, perm, counts, offsets = _bucket_by_owner(seeds, book)
     req_ids, recv_sizes, recv_offsets = _ragged_a2a(
         sorted_ids, offsets, counts, axis, world * b)
+    req_time = None
+    if seed_time is not None:
+        # seed times ride the same geometry as the ids
+        req_time, _, _ = _ragged_a2a(
+            seed_time[perm], offsets, counts, axis, world * b)
     # local sample on the owner (requests beyond recv total are stale:
     # mask them as invalid seeds)
     my_rank = jax.lax.axis_index(axis)
@@ -117,7 +173,25 @@ def _one_hop_shard(indptr, indices, edge_base, key, seeds, *, fanout: int,
         local < my_count)
     safe_local = jnp.where(ok, local, 0)
     skey = jax.random.fold_in(key, my_rank)
-    out = sample_ops.uniform_sample(skey, indptr, indices, safe_local, fanout)
+    ind2d = indices.reshape(-1, _LINE)
+    if weights is not None:
+        out = sample_ops.weighted_sample(
+            skey, indptr, indices, weights, safe_local, fanout,
+            max_degree=max_degree, indices2d=ind2d,
+            weights2d=weights.reshape(-1, _LINE),
+            edge_times=times,
+            times2d=None if times is None else times.reshape(-1, _LINE),
+            seed_time=req_time)
+    elif times is not None and req_time is not None:
+        out = sample_ops.masked_uniform_sample(
+            skey, indptr, indices, safe_local, fanout,
+            max_degree=max_degree, indices2d=ind2d,
+            edge_times=times, times2d=times.reshape(-1, _LINE),
+            seed_time=req_time)
+    else:
+        out = sample_ops.uniform_sample(
+            skey, indptr, indices, safe_local, fanout,
+            indices2d=ind2d, max_degree=max_degree)
     okm = ok[:, None]
     neighbors = jnp.where(okm, out.neighbors, -1)
     base = edge_base[my_rank].astype(jnp.int32)
@@ -134,28 +208,59 @@ def _one_hop_shard(indptr, indices, edge_base, key, seeds, *, fanout: int,
 
 
 class DistNeighborSampler:
-    """Multi-hop uniform sampling over a DistGraph; per-rank seed shards,
-    static shapes, dedup=False layout (static renumbering — the sorts a
-    per-rank dedup would need are the TPU bottleneck; duplicates across
-    hops only cost a few percent extra gather)."""
+    """Multi-hop sampling over a DistGraph: per-rank seed shards, static
+    shapes, all single-chip variants (uniform / biased / temporal —
+    carried by the DistGraph's weights/times) routed through the
+    seed-routing shard body (ref distributed_sampler.py:53-94 variant
+    dispatch).
 
-    def __init__(self, graph: DistGraph, fanouts: Sequence[int]):
+    dedup=False (default): static renumbering layout, zero sorts in the
+    hot path.  dedup=True: per-shard append-unique between hops (the
+    reference's per-rank deduplicate_sources) — levels stay compact and
+    duplicate ids on a shard cost one feature-gather request instead of
+    many; ``max_unique_per_hop`` caps the per-shard level capacities.
+    """
+
+    def __init__(self, graph: DistGraph, fanouts: Sequence[int],
+                 dedup: bool = False,
+                 max_unique_per_hop: Optional[Sequence[int]] = None):
         self.graph = graph
         self.fanouts = tuple(int(f) for f in fanouts)
+        self.dedup = bool(dedup)
+        self.max_unique_per_hop = max_unique_per_hop
+        if max_unique_per_hop is not None and not dedup:
+            raise ValueError("capacity budgets need dedup=True")
+
+    def _caps(self, local_batch: int) -> List[int]:
+        caps = level_capacities(local_batch, self.fanouts)
+        if self.max_unique_per_hop is not None:
+            for h, cap in enumerate(self.max_unique_per_hop):
+                caps[h + 1] = min(caps[h + 1], int(cap))
+            for h in range(len(self.fanouts)):
+                caps[h + 1] = min(caps[h + 1],
+                                  caps[h] * (self.fanouts[h] + 1))
+        return caps
 
     def sample_shard_fn(self, local_batch: int):
         """Returns the per-shard multihop function for use inside an
-        enclosing shard_map (composable with gather/compute)."""
+        enclosing shard_map (composable with gather/compute).  Signature:
+        fn(indptr, indices, edge_base, weights, times, key, seeds,
+        node_times) — pass None for absent optionals."""
         g = self.graph
         fanouts = self.fanouts
+        dedup = self.dedup
+        caps = self._caps(local_batch)
+        temporal = g.times is not None
 
-        def fn(indptr, indices, edge_base, key, seeds):
+        def fn(indptr, indices, edge_base, weights, times, key, seeds,
+               node_times=None):
             def gcount(x):  # globally-replicated count across shards
                 return jax.lax.psum(
                     jnp.sum(x >= 0).astype(jnp.int32), g.axis)
 
             levels = [seeds.astype(jnp.int32)]
             level_counts = [gcount(seeds)]
+            seed_time = node_times if temporal else None
             hops: List[HopBlock] = []
             for h, fanout in enumerate(fanouts):
                 targets = levels[-1]
@@ -163,32 +268,61 @@ class DistNeighborSampler:
                 hkey = jax.random.fold_in(key, h)
                 nbrs, eids, _ = _one_hop_shard(
                     indptr, indices, edge_base, hkey, targets,
-                    fanout=fanout, book=g.book, axis=g.axis)
-                pos = (t + jnp.arange(t * fanout, dtype=jnp.int32)
-                       ).reshape(nbrs.shape)
-                neigh_local = jnp.where(nbrs >= 0, pos, -1)
+                    fanout=fanout, book=g.book, axis=g.axis,
+                    weights=weights, times=times, seed_time=seed_time,
+                    max_degree=g.max_degree)
+                if dedup:
+                    uniq = append_unique(targets, nbrs.reshape(-1),
+                                         max_unique=caps[h + 1])
+                    neigh_local = uniq.neighbor_map.reshape(nbrs.shape)
+                    next_level = uniq.unique_nodes
+                else:
+                    pos = (t + jnp.arange(t * fanout, dtype=jnp.int32)
+                           ).reshape(nbrs.shape)
+                    neigh_local = jnp.where(nbrs >= 0, pos, -1)
+                    next_level = jnp.concatenate([targets, nbrs.reshape(-1)])
                 hops.append(HopBlock(neigh_local=neigh_local,
                                      neigh_global=nbrs, edge_ids=eids))
-                levels.append(jnp.concatenate([targets, nbrs.reshape(-1)]))
-                level_counts.append(gcount(levels[-1]))
+                levels.append(next_level)
+                level_counts.append(gcount(next_level))
+                if seed_time is not None:
+                    # sampled nodes inherit their seed's time (PyG
+                    # temporal semantics) — min over incoming assignment
+                    nl = next_level.shape[0]
+                    big = jnp.asarray(jnp.iinfo(jnp.int32).max,
+                                      seed_time.dtype)
+                    tf = jnp.full((nl,), big, seed_time.dtype)
+                    tf = tf.at[:t].set(seed_time)
+                    flat_loc = neigh_local.reshape(-1)
+                    flat_t = jnp.repeat(seed_time, fanout)
+                    okt = flat_loc >= 0
+                    tf = tf.at[jnp.where(okt, flat_loc, nl - 1)].min(
+                        jnp.where(okt, flat_t, big))
+                    seed_time = tf
             return MultihopBatch(levels=levels, level_counts=level_counts,
                                  hops=hops, seed_count=level_counts[0])
 
         return fn
 
-    def sample(self, key, seeds):
-        """Standalone sampling: seeds sharded over the mesh axis; returns
-        a MultihopBatch of sharded arrays."""
+    def sample(self, key, seeds, node_times=None):
+        """Standalone sampling: seeds (and optional per-seed times)
+        sharded over the mesh axis; returns a MultihopBatch of sharded
+        arrays."""
         g = self.graph
         fn = self.sample_shard_fn(seeds.shape[0] // g.book.world_size)
+        n_lvl = len(self.fanouts) + 1
+        opt = lambda x: P() if x is None else P(g.axis)
         shard = jax.shard_map(
             fn, mesh=g.mesh,
-            in_specs=(P(g.axis), P(g.axis), P(), P(), P(g.axis)),
+            in_specs=(P(g.axis), P(g.axis), P(),
+                      opt(g.weights), opt(g.times), P(), P(g.axis),
+                      opt(node_times)),
             out_specs=MultihopBatch(
-                levels=[P(g.axis)] * (len(self.fanouts) + 1),
-                level_counts=[P()] * (len(self.fanouts) + 1),
+                levels=[P(g.axis)] * n_lvl,
+                level_counts=[P()] * n_lvl,
                 hops=[HopBlock(P(g.axis), P(g.axis), P(g.axis))
                       for _ in self.fanouts],
                 seed_count=P()),
         )
-        return shard(g.indptr, g.indices, g.edge_base, key, seeds)
+        return shard(g.indptr, g.indices, g.edge_base, g.weights, g.times,
+                     key, seeds, node_times)

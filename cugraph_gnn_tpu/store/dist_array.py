@@ -30,6 +30,17 @@ from cugraph_gnn_tpu.parallel.mesh import STORE_AXIS
 from cugraph_gnn_tpu.store.partition import PartitionBook
 
 
+def put_global(host_array, sharding) -> jax.Array:
+    """device_put that also works in multi-process (multi-host) runs:
+    each process materialises only its addressable shards from the
+    (replicated) host array.  The reference's analog is the per-rank
+    shard load feeding wholememory_load (ref file_io.cpp:665-1541); in
+    single-process runs this is just a sharded device_put."""
+    host_array = np.asarray(host_array)
+    return jax.make_array_from_callback(
+        host_array.shape, sharding, lambda idx: host_array[idx])
+
+
 # ---------------------------------------------------------------------------
 # Per-shard (inside shard_map) exchange routines
 # ---------------------------------------------------------------------------
@@ -227,7 +238,7 @@ class DistArray:
                   + book.local_offset_np(gids))
         padded[dstpos] = host_array
         sharding = NamedSharding(mesh, P(axis))
-        return DistArray(jax.device_put(padded, sharding), book, mesh, axis)
+        return DistArray(put_global(padded, sharding), book, mesh, axis)
 
     # -- properties ---------------------------------------------------------
 

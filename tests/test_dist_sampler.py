@@ -97,3 +97,79 @@ def test_dist_sample_padded_seeds(mesh, graph):
     assert int(batch.seed_count) == 10
     nbrs = np.asarray(batch.hops[0].neigh_global)
     assert (nbrs[np.asarray(seeds) < 0] == -1).all()
+
+
+def test_dist_sample_weighted_zero_weight_excluded(mesh, graph):
+    indptr, indices, n = graph
+    rng = np.random.default_rng(7)
+    # half the edges get weight 0 -> must never be sampled
+    w = rng.uniform(0.5, 2.0, len(indices)).astype(np.float32)
+    zero = rng.random(len(indices)) < 0.5
+    w[zero] = 0.0
+    g = DistGraph.from_global_csr(indptr, indices, mesh, weights=w)
+    sampler = DistNeighborSampler(g, [5])
+    seeds = jnp.asarray(np.arange(64) % n, jnp.int32)
+    batch = sampler.sample(jax.random.PRNGKey(3), seeds)
+    eids = np.asarray(batch.hops[0].edge_ids)
+    nbrs = np.asarray(batch.hops[0].neigh_global)
+    seeds_np = np.asarray(seeds)
+    pos_deg = np.array([np.sum(w[indptr[s]:indptr[s + 1]] > 0)
+                        for s in seeds_np])
+    for i, s in enumerate(seeds_np):
+        es = eids[i][eids[i] >= 0]
+        assert len(es) == min(pos_deg[i], 5)
+        for e_, nb in zip(es, nbrs[i][eids[i] >= 0]):
+            assert indptr[s] <= e_ < indptr[s + 1]
+            assert indices[e_] == nb
+            assert w[e_] > 0
+
+
+def test_dist_sample_temporal_filter(mesh, graph):
+    indptr, indices, n = graph
+    rng = np.random.default_rng(8)
+    times = rng.integers(0, 100, len(indices)).astype(np.int32)
+    g = DistGraph.from_global_csr(indptr, indices, mesh, times=times)
+    sampler = DistNeighborSampler(g, [4])
+    seeds = jnp.asarray(np.arange(64) % n, jnp.int32)
+    seed_time = jnp.asarray(rng.integers(0, 100, 64).astype(np.int32))
+    batch = sampler.sample(jax.random.PRNGKey(4), seeds, seed_time)
+    eids = np.asarray(batch.hops[0].edge_ids)
+    st = np.asarray(seed_time)
+    seeds_np = np.asarray(seeds)
+    for i, s in enumerate(seeds_np):
+        es = eids[i][eids[i] >= 0]
+        valid_deg = np.sum(times[indptr[s]:indptr[s + 1]] <= st[i])
+        assert len(es) == min(valid_deg, 4), (i, s)
+        for e_ in es:
+            assert times[e_] <= st[i]
+
+
+def test_dist_sample_dedup_levels_unique(mesh, graph):
+    indptr, indices, n = graph
+    g = DistGraph.from_global_csr(indptr, indices, mesh)
+    sampler = DistNeighborSampler(g, [4, 4], dedup=True)
+    seeds = jnp.asarray(np.arange(32), jnp.int32)
+    batch = sampler.sample(jax.random.PRNGKey(5), seeds)
+    # per-shard levels: valid ids unique, targets a prefix
+    for lvl_i in (1, 2):
+        lvl = np.asarray(batch.levels[lvl_i]).reshape(8, -1)
+        prev = np.asarray(batch.levels[lvl_i - 1]).reshape(8, -1)
+        for r in range(8):
+            v = lvl[r][lvl[r] >= 0]
+            assert len(np.unique(v)) == len(v), (lvl_i, r)
+            np.testing.assert_array_equal(
+                lvl[r][: prev.shape[1]], prev[r])
+    # neigh_local maps into the next level correctly per shard
+    lvl1 = np.asarray(batch.levels[1]).reshape(8, -1)
+    nl = np.asarray(batch.hops[0].neigh_local).reshape(8, 4, -1)
+    ng = np.asarray(batch.hops[0].neigh_global).reshape(8, 4, -1)
+    for r in range(8):
+        m = nl[r] >= 0
+        np.testing.assert_array_equal(lvl1[r][nl[r][m]], ng[r][m])
+    # dedup vs no-dedup sample the same edges given the same key (the
+    # per-hop kernels see identical targets through hop 0)
+    batch2 = DistNeighborSampler(g, [4, 4]).sample(
+        jax.random.PRNGKey(5), seeds)
+    np.testing.assert_array_equal(
+        np.asarray(batch.hops[0].edge_ids),
+        np.asarray(batch2.hops[0].edge_ids))

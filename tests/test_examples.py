@@ -50,7 +50,7 @@ def test_rgcn_hetero_example():
 
 def test_multichip_example():
     run_example("multichip_training.py",
-                ["--devices", "8", "--steps", "2", "--num-nodes", "512",
+                ["--devices", "8", "--epochs", "1", "--num-nodes", "512",
                  "--num-edges", "4096", "--batch-size", "64"],
                 timeout=400)
 
