@@ -37,6 +37,7 @@ from cugraph_gnn_tpu.parallel.mesh import STORE_AXIS
 from cugraph_gnn_tpu.store.dist_array import (
     DistArray,
     _bucket_by_owner,
+    _dist_gather_shard,
     _ragged_a2a,
 )
 from cugraph_gnn_tpu.store.partition import PartitionBook
@@ -154,6 +155,51 @@ class DistEmbedding:
 
     def __getitem__(self, ids):
         return self.gather(ids)
+
+    # -- differentiable lookup ----------------------------------------------
+    #
+    # The reference's EmbeddingLookupFn (ref torch/embedding.py:221-245)
+    # is a torch autograd Function whose backward hands the rows
+    # cotangent to add_gradients.  The JAX-pure equivalent: a zero
+    # "tap" array added to the gathered rows.  ``jax.grad`` w.r.t. the
+    # tap IS d loss / d rows (the tap contributes nothing to the primal),
+    # and stop_gradient on the table prevents a dense table-sized
+    # cotangent from ever materialising — the backward pass stays
+    # sparse, exactly like the reference's.
+
+    def make_tap(self, batch_size: int):
+        """Zero (B, dim) array to include in the differentiable params of
+        a train step; its gradient is the per-row embedding gradient."""
+        return jnp.zeros((batch_size, self.table.data.shape[1]),
+                         self.table.data.dtype)
+
+    def lookup_fn(self):
+        """Pure (table_data, tap, ids) -> rows for use INSIDE jit (pass
+        ``emb.table.data`` as the argument — closing over it would embed
+        the table as an XLA constant)."""
+        book, mesh, axis = self.table.book, self.table.mesh, self.table.axis
+        world = mesh.shape[axis]
+
+        def fn(table_data, tap, ids):
+            b = ids.shape[0]
+            rem = (-b) % world
+            if rem:
+                ids = jnp.concatenate(
+                    [ids, jnp.full((rem,), -1, ids.dtype)])
+            g = functools.partial(
+                _dist_gather_shard, book=book, axis=axis, fill=0)
+            rows = jax.shard_map(
+                g, mesh=mesh, in_specs=(P(axis), P(axis)),
+                out_specs=P(axis))(
+                jax.lax.stop_gradient(table_data), ids)[:b]
+            return rows + tap
+
+        return fn
+
+    def lookup(self, tap, ids):
+        """Differentiable lookup (outside-jit convenience — inside a
+        jitted step use ``lookup_fn()`` with table.data as an arg)."""
+        return self.lookup_fn()(self.table.data, tap, ids)
 
     # -- training -----------------------------------------------------------
 

@@ -168,13 +168,18 @@ class NeighborLoader(NodeLoader):
                  time_attr: Optional[str] = None, input_time=None,
                  seed: int = 0, dedup: bool = True,
                  max_unique_per_hop: Optional[Sequence[int]] = None,
-                 **kwargs):
+                 disjoint: bool = False, **kwargs):
         """dedup=False selects the zero-sort static renumbering layout
         (the TPU fast path — the reference's deduplicate_sources=False,
         ref neighbor_loader.py:208-210); max_unique_per_hop caps level
-        capacities (memory budget)."""
+        capacities (memory budget); disjoint=True samples an independent
+        subgraph per seed (PyG disjoint mode, ref
+        distributed_sampler.py:168-218) — batches then carry (B, cap)
+        per-seed arrays and a ``sample.batch`` seed-of-node vector."""
         feature_store, graph_store = data
         graph = graph_store.finalize()
+        if disjoint and not graph.is_homogeneous:
+            raise NotImplementedError("disjoint hetero sampling")
         if graph.is_homogeneous:
             indptr, indices = graph.homogeneous_csr()
             et = graph.etypes[0]
@@ -192,8 +197,14 @@ class NeighborLoader(NodeLoader):
                 maxdeg = graph.max_degree_by_etype[et]
             sampler = NeighborSampler(
                 indptr, indices, num_neighbors, weights=weights,
-                edge_times=times, max_degree=maxdeg, dedup=dedup,
+                edge_times=times, max_degree=maxdeg,
+                dedup=True if disjoint else dedup,
                 max_unique_per_hop=max_unique_per_hop)
+            if disjoint:
+                from cugraph_gnn_tpu.sampler.disjoint import (
+                    DisjointNeighborSampler,
+                )
+                sampler = DisjointNeighborSampler(sampler)
         else:
             from cugraph_gnn_tpu.data.graph_store import edge_type_str
             from cugraph_gnn_tpu.sampler.hetero import HeteroNeighborSampler

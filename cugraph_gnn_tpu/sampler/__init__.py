@@ -1,3 +1,8 @@
+from cugraph_gnn_tpu.sampler.disjoint import (
+    DisjointBatch,
+    DisjointNeighborSampler,
+    to_coo_disjoint,
+)
 from cugraph_gnn_tpu.sampler.dist_sampler import DistGraph, DistNeighborSampler
 from cugraph_gnn_tpu.sampler.hetero import HeteroMultihopBatch, HeteroNeighborSampler
 from cugraph_gnn_tpu.sampler.negative import NegativeSampling, sample_negative_edges
@@ -19,6 +24,8 @@ from cugraph_gnn_tpu.sampler.output import (
 __all__ = [
     "COOSample",
     "CSCSample",
+    "DisjointBatch",
+    "DisjointNeighborSampler",
     "DistGraph",
     "DistNeighborSampler",
     "HeteroMultihopBatch",
@@ -31,6 +38,7 @@ __all__ = [
     "multihop_uniform",
     "sample_negative_edges",
     "to_coo",
+    "to_coo_disjoint",
     "to_csc",
     "uniform_sample_np",
 ]
