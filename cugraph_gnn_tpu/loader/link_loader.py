@@ -14,6 +14,12 @@ fixed seed layout so one compiled program serves every step:
 nodes are NOT deduplicated — static shapes beat the reference's
 per-batch sort+unique_consecutive, ref distributed_sampler.py:428-724;
 the sampler handles duplicate seeds fine).
+
+Heterogeneous link prediction (ref examples/mag_lp_mnmg.py:100-160,
+rgcn_link_class_mnmg.py): pass ``edge_label_index = (edge_type, (2, E))``
+with *type-local* src/dst ids (PyG convention).  Seeds are offset into
+the global hetero id space before sampling; negatives are drawn inside
+the src/dst node-type ranges.
 """
 
 from __future__ import annotations
@@ -27,6 +33,10 @@ import numpy as np
 
 from cugraph_gnn_tpu.data.feature_store import FeatureStore
 from cugraph_gnn_tpu.data.graph_store import GraphStore
+from cugraph_gnn_tpu.loader.node_loader import (
+    build_neighbor_sampler,
+    gather_node_features,
+)
 from cugraph_gnn_tpu.sampler.negative import (
     NegativeSampling,
     make_edge_key_sorted,
@@ -57,8 +67,13 @@ class LinkLoader:
                  reject_true_edges: bool = False, seed: int = 0):
         self.feature_store, self.graph_store = data
         self.sampler = sampler
+        # PyG hetero form: (edge_type, (2, E)) with type-local ids.
+        self.edge_type = None
+        if (isinstance(edge_label_index, tuple) and len(edge_label_index) == 2
+                and isinstance(edge_label_index[0], (tuple, str))):
+            self.edge_type, edge_label_index = edge_label_index
         eli = np.asarray(edge_label_index)
-        self.pos_src = eli[0].astype(np.int64)
+        self.pos_src = eli[0].astype(np.int64)   # type-local ids
         self.pos_dst = eli[1].astype(np.int64)
         self.edge_label = (None if edge_label is None
                            else np.asarray(edge_label))
@@ -69,12 +84,19 @@ class LinkLoader:
         self.x_attr = x_attr
         self._epoch = 0
         self._base_key = jax.random.PRNGKey(seed)
-        n = self.graph_store.num_nodes()
-        self.num_nodes = n
+        if self.edge_type is not None:
+            src_t, _, dst_t = self.edge_type
+            self.src_offset = self.graph_store.node_offset(src_t)
+            self.dst_offset = self.graph_store.node_offset(dst_t)
+            self.num_src = self.graph_store.num_nodes(src_t)
+            self.num_dst = self.graph_store.num_nodes(dst_t)
+        else:
+            self.src_offset = self.dst_offset = 0
+            self.num_src = self.num_dst = self.graph_store.num_nodes()
         self._edge_key_sorted = None
         if reject_true_edges:
             self._edge_key_sorted = make_edge_key_sorted(
-                self.pos_src, self.pos_dst, n)
+                self.pos_src, self.pos_dst, self.num_dst)
 
     def __len__(self):
         n = len(self.pos_src)
@@ -95,13 +117,13 @@ class LinkLoader:
             amount = max(int(self.neg.amount), 1)
             ns = jnp.repeat(jnp.asarray(ps, jnp.int32), amount)[:n_neg]
             _, nd = sample_negative_edges(
-                key, self.num_nodes, self.num_nodes, n_neg, self.neg,
+                key, self.num_src, self.num_dst, n_neg, self.neg,
                 self._edge_key_sorted)
             # invalidate negatives whose source is padding
             nd = jnp.where(ns >= 0, nd, -1)
             return ns, nd
         return sample_negative_edges(
-            key, self.num_nodes, self.num_nodes, n_neg, self.neg,
+            key, self.num_src, self.num_dst, n_neg, self.neg,
             self._edge_key_sorted)
 
     def __iter__(self) -> Iterator[LinkBatch]:
@@ -126,9 +148,14 @@ class LinkLoader:
             else:
                 ns = jnp.zeros((0,), jnp.int32)
                 nd = jnp.zeros((0,), jnp.int32)
+            def _off(ids, off):
+                ids = jnp.asarray(ids, jnp.int32)
+                return jnp.where(ids >= 0, ids + np.int32(off), -1)
+
+            # type-local -> global hetero id space (-1 pads stay -1)
             seeds = jnp.concatenate([
-                jnp.asarray(ps, jnp.int32), jnp.asarray(pd, jnp.int32),
-                ns.astype(jnp.int32), nd.astype(jnp.int32)])
+                _off(ps, self.src_offset), _off(pd, self.dst_offset),
+                _off(ns, self.src_offset), _off(nd, self.dst_offset)])
             sample = self.sampler.sample(jax.random.fold_in(kk, 2), seeds)
             # local positions in the seed layout
             pos_idx = jnp.stack([
@@ -144,10 +171,9 @@ class LinkLoader:
                 lab[: len(sel)] = self.edge_label[sel]
                 pos_lab = jnp.asarray(lab) * pos_lab
             neg_lab = jnp.zeros((n_neg,), jnp.float32)
-            x = None
-            if ("", self.x_attr) in self.feature_store:
-                x = self.feature_store.get_tensor(
-                    "", self.x_attr, ids=sample.input_nodes)
+            x = gather_node_features(
+                self.feature_store, self.graph_store, self.x_attr,
+                sample.input_nodes)
             yield LinkBatch(
                 sample=sample, x=x, edge_label_index=eli,
                 edge_label=jnp.concatenate([pos_lab, neg_lab]),
@@ -160,12 +186,12 @@ class LinkNeighborLoader(LinkLoader):
 
     def __init__(self, data: Tuple[FeatureStore, GraphStore],
                  num_neighbors, edge_label_index, edge_label=None,
-                 neg_sampling=None, batch_size: int = 512, **kwargs):
-        from cugraph_gnn_tpu.sampler.neighbor_sampler import NeighborSampler
+                 neg_sampling=None, batch_size: int = 512,
+                 weight_attr=None, time_attr=None, **kwargs):
         feature_store, graph_store = data
-        graph = graph_store.finalize()
-        indptr, indices = graph.homogeneous_csr()
-        sampler = NeighborSampler(indptr, indices, num_neighbors)
+        sampler = build_neighbor_sampler(
+            feature_store, graph_store, num_neighbors,
+            weight_attr=weight_attr, time_attr=time_attr)
         if isinstance(neg_sampling, str):
             neg_sampling = NegativeSampling(mode=neg_sampling)
         elif isinstance(neg_sampling, dict):

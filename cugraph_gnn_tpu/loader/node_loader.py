@@ -120,27 +120,9 @@ class NodeLoader:
                             batch_size=b)
 
     def _gather_x(self, sample):
-        if self.graph_store.is_homogeneous:
-            if ("", self.x_attr) not in self.feature_store:
-                return None
-            return self.feature_store.get_tensor(
-                "", self.x_attr, ids=sample.input_nodes)
-        # Heterogeneous: per-node-type feature dict.  Input nodes span all
-        # types in the global id space; for each type, gather its rows
-        # (rows of other types are zero) — RGCN models combine these with
-        # the type masks implied by the node-offset ranges.
-        inp = sample.input_nodes
-        out = {}
-        for nt in self.graph_store.node_types:
-            if (nt, self.x_attr) not in self.feature_store:
-                continue
-            off = self.graph_store.node_offset(nt)
-            n = self.graph_store.num_nodes(nt)
-            local = inp - off
-            ok = (local >= 0) & (local < n)
-            out[nt] = self.feature_store.get_tensor(
-                nt, self.x_attr, ids=jnp.where(ok, local, -1))
-        return out or None
+        return gather_node_features(
+            self.feature_store, self.graph_store, self.x_attr,
+            sample.input_nodes)
 
     def _gather_y(self, seeds):
         key = ("", self.y_attr) if self.input_type is None else (
@@ -154,6 +136,31 @@ class NodeLoader:
             off = self.graph_store.node_offset(self.input_type)
             seeds = jnp.where(seeds >= 0, seeds - off, -1)
         return self.feature_store.get_tensor(*key, ids=seeds)
+
+
+def gather_node_features(feature_store, graph_store, x_attr, input_nodes):
+    """Feature join for a sampled node set (shared by node/link loaders).
+
+    Homogeneous: one (S, F) gather.  Heterogeneous: per-node-type feature
+    dict — input nodes span all types in the global id space; for each
+    type, gather its rows (rows of other types are zero) — RGCN models
+    combine these with the type masks implied by the node-offset ranges.
+    """
+    if graph_store.is_homogeneous:
+        if ("", x_attr) not in feature_store:
+            return None
+        return feature_store.get_tensor("", x_attr, ids=input_nodes)
+    out = {}
+    for nt in graph_store.node_types:
+        if (nt, x_attr) not in feature_store:
+            continue
+        off = graph_store.node_offset(nt)
+        n = graph_store.num_nodes(nt)
+        local = input_nodes - off
+        ok = (local >= 0) & (local < n)
+        out[nt] = feature_store.get_tensor(
+            nt, x_attr, ids=jnp.where(ok, local, -1))
+    return out or None
 
 
 class NeighborLoader(NodeLoader):
@@ -177,65 +184,79 @@ class NeighborLoader(NodeLoader):
         distributed_sampler.py:168-218) — batches then carry (B, cap)
         per-seed arrays and a ``sample.batch`` seed-of-node vector."""
         feature_store, graph_store = data
-        graph = graph_store.finalize()
-        if disjoint and not graph.is_homogeneous:
-            raise NotImplementedError("disjoint hetero sampling")
-        if graph.is_homogeneous:
-            indptr, indices = graph.homogeneous_csr()
-            et = graph.etypes[0]
-            weights = None
-            times = None
-            maxdeg = None
-            if weight_attr is not None:
-                w = feature_store.get_tensor("", weight_attr)
-                weights = _edge_attr_to_csr_order(
-                    graph_store, graph, et, w)
-                maxdeg = graph.max_degree_by_etype[et]
-            if time_attr is not None:
-                t = feature_store.get_tensor("", time_attr)
-                times = _edge_attr_to_csr_order(graph_store, graph, et, t)
-                maxdeg = graph.max_degree_by_etype[et]
-            sampler = NeighborSampler(
-                indptr, indices, num_neighbors, weights=weights,
-                edge_times=times, max_degree=maxdeg,
-                dedup=True if disjoint else dedup,
-                max_unique_per_hop=max_unique_per_hop)
-            if disjoint:
-                from cugraph_gnn_tpu.sampler.disjoint import (
-                    DisjointNeighborSampler,
-                )
-                sampler = DisjointNeighborSampler(sampler)
-        else:
-            from cugraph_gnn_tpu.data.graph_store import edge_type_str
-            from cugraph_gnn_tpu.sampler.hetero import HeteroNeighborSampler
-
-            # weight_attr -> biased, time_attr -> temporal, per edge type
-            # (ref neighbor_loader.py:173-190 pulls the edge property
-            # tensors from the feature store keyed by edge type).
-            def _collect(attr):
-                if attr is None:
-                    return None
-                out = {}
-                for et in graph.etypes:
-                    ekey = edge_type_str(et)
-                    if (ekey, attr) in feature_store:
-                        v = feature_store.get_tensor(ekey, attr)
-                        out[et] = _edge_attr_to_csr_order(
-                            graph_store, graph, et, v)
-                if not out:
-                    raise KeyError(
-                        f"no edge type has attribute {attr!r} in the "
-                        "feature store (keys are (edge_type_str, attr))")
-                return out
-
-            sampler = HeteroNeighborSampler(
-                graph, num_neighbors,
-                weights_by_etype=_collect(weight_attr),
-                times_by_etype=_collect(time_attr))
+        sampler = build_neighbor_sampler(
+            feature_store, graph_store, num_neighbors,
+            weight_attr=weight_attr, time_attr=time_attr, dedup=dedup,
+            max_unique_per_hop=max_unique_per_hop, disjoint=disjoint)
         super().__init__(data, sampler, input_nodes=input_nodes,
                          batch_size=batch_size, shuffle=shuffle,
                          drop_last=drop_last, input_time=input_time,
                          seed=seed, **kwargs)
+
+
+def build_neighbor_sampler(feature_store, graph_store, num_neighbors,
+                           weight_attr=None, time_attr=None,
+                           dedup: bool = True, max_unique_per_hop=None,
+                           disjoint: bool = False):
+    """Construct the right sampler for a graph store (shared by
+    NeighborLoader and LinkNeighborLoader): homogeneous CSR sampler
+    (uniform/biased/temporal, optionally disjoint) or the hetero
+    per-edge-type sampler (ref neighbor_loader.py:162-201)."""
+    graph = graph_store.finalize()
+    if disjoint and not graph.is_homogeneous:
+        raise NotImplementedError("disjoint hetero sampling")
+    if graph.is_homogeneous:
+        indptr, indices = graph.homogeneous_csr()
+        et = graph.etypes[0]
+        weights = None
+        times = None
+        maxdeg = None
+        if weight_attr is not None:
+            w = feature_store.get_tensor("", weight_attr)
+            weights = _edge_attr_to_csr_order(graph_store, graph, et, w)
+            maxdeg = graph.max_degree_by_etype[et]
+        if time_attr is not None:
+            t = feature_store.get_tensor("", time_attr)
+            times = _edge_attr_to_csr_order(graph_store, graph, et, t)
+            maxdeg = graph.max_degree_by_etype[et]
+        sampler = NeighborSampler(
+            indptr, indices, num_neighbors, weights=weights,
+            edge_times=times, max_degree=maxdeg,
+            dedup=True if disjoint else dedup,
+            max_unique_per_hop=max_unique_per_hop)
+        if disjoint:
+            from cugraph_gnn_tpu.sampler.disjoint import (
+                DisjointNeighborSampler,
+            )
+            sampler = DisjointNeighborSampler(sampler)
+        return sampler
+
+    from cugraph_gnn_tpu.data.graph_store import edge_type_str
+    from cugraph_gnn_tpu.sampler.hetero import HeteroNeighborSampler
+
+    # weight_attr -> biased, time_attr -> temporal, per edge type
+    # (ref neighbor_loader.py:173-190 pulls the edge property
+    # tensors from the feature store keyed by edge type).
+    def _collect(attr):
+        if attr is None:
+            return None
+        out = {}
+        for et in graph.etypes:
+            ekey = edge_type_str(et)
+            if (ekey, attr) in feature_store:
+                v = feature_store.get_tensor(ekey, attr)
+                out[et] = _edge_attr_to_csr_order(
+                    graph_store, graph, et, v)
+        if not out:
+            raise KeyError(
+                f"no edge type has attribute {attr!r} in the "
+                "feature store (keys are (edge_type_str, attr))")
+        return out
+
+    return HeteroNeighborSampler(
+        graph, num_neighbors,
+        weights_by_etype=_collect(weight_attr),
+        times_by_etype=_collect(time_attr))
 
 
 def _edge_attr_to_csr_order(graph_store: GraphStore, graph, et, attr):

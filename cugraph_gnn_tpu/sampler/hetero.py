@@ -14,7 +14,7 @@ consumes).
 
 from __future__ import annotations
 
-from typing import Dict, List, NamedTuple, Sequence, Union
+from typing import Dict, List, NamedTuple, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
