@@ -39,50 +39,92 @@ def _dedup_static(ids, size: int):
     return jnp.where(uniq == big, -1, uniq), inv
 
 
+def _bucket_by_key(ids, keys, nbuckets: int):
+    """Sort ids by an owner key in [0, nbuckets); -1 ids ride the last
+    bucket.  Returns (sorted_ids, perm, counts, offsets)."""
+    keys = jnp.where(ids >= 0, jnp.clip(keys, 0, nbuckets - 1),
+                     nbuckets - 1)
+    perm = jnp.argsort(keys, stable=True)
+    counts = jnp.bincount(keys, length=nbuckets)
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]])
+    return ids[perm], perm, counts, offsets
+
+
 def _hier_gather_shard(table, ids, *, book: PartitionBook, node_axis: str,
                        dev_axis: str, world_dev: int, fill):
-    """Per-shard body on the 2D mesh.
+    """Per-shard two-phase gather on the (node, device) mesh — the
+    reference's MT_HIERARCHY pipeline mapped to mesh axes
+    (ref gather_op_impl_hierarchy.cu:23-105):
 
-    Phase 1 (intra-node, ICI): each device dedups its query ids and
-    routes them to the *device column* that owns them within every node
-    (ids are partitioned node-major: owner_node = id // node_rows;
-    within the node, owner_dev = (id % node_rows) // shard_size).
-    Phase 2 (cross-node, DCN): exchange along the node axis only.
-    Simplification v1: dedup locally, then do a single exchange over the
-    flattened 2-level owner using two chained all-to-alls (device axis
-    first, then node axis) so all DCN traffic is deduplicated.
+    A. **ICI** all-to-all over the device axis, bucketing each device's
+       locally-deduped ids by the owner's *device column* — then a
+       node-level dedup: ids queried by several sibling devices merge
+       into one request (the reference's sort_unique across the clique).
+    B. **DCN** all-to-all over the node axis only, bucketing by owner
+       node.  Every unique (node, id) request crosses DCN exactly once.
+    C. Rows flow back through the reverse geometry: node axis, expand
+       the node-level dedup, device axis, expand the local dedup.
     """
     b = ids.shape[0]
-    # Local dedup before any wire (the key bandwidth saver).
+    d = world_dev
+    n_nodes = book.world_size // d
+    fillv = jnp.asarray(fill)
+
+    # Phase 0: local dedup before any wire.
     uniq, inv = _dedup_static(ids, b)
-    # owner rank in flattened space handled by book; bucket over devices
-    # within our node first, then nodes.
-    world = book.world_size
-    sorted_ids, perm, counts, offsets = _bucket_by_owner(uniq, book)
-    # composite exchange: ship ids to owner (node, device) in two hops.
-    # Hop A (ICI): all-to-all over the device axis to the owner's device
-    # column, bucketing by owner_dev = owner % world_dev.
-    # v1 does a direct exchange over the flattened axis pair by nesting
-    # the two collectives: device axis then node axis.
-    # -- flatten: jax collectives accept multiple axes --
-    axis = (node_axis, dev_axis)
-    req_ids, recv_sizes, recv_offsets = _ragged_a2a(
-        sorted_ids, offsets, counts, axis, world * b)
-    my_rank = (jax.lax.axis_index(node_axis) * world_dev
-               + jax.lax.axis_index(dev_axis))
-    row_start = jnp.take(np.asarray(book.offsets[:-1]), my_rank)
-    my_count = jnp.take(np.asarray(book.counts), my_rank)
-    local = req_ids - row_start
-    ok = (req_ids >= 0) & (local >= 0) & (local < my_count)
+    owner = book.owner_of(jnp.maximum(uniq, 0))
+
+    # Phase A (ICI): route to the owner's device column within my node.
+    a_ids, a_perm, a_counts, a_offsets = _bucket_by_key(
+        uniq, owner % d, d)
+    recvA, a_recv_sizes, a_recv_offsets = _ragged_a2a(
+        a_ids, a_offsets, a_counts, dev_axis, d * b)
+    posA = jnp.arange(d * b)
+    recvA = jnp.where(posA < jnp.sum(a_recv_sizes), recvA, -1)
+    # Node-level dedup: sibling devices' duplicate requests merge here.
+    uniq2, inv2 = _dedup_static(recvA, d * b)
+    owner2 = book.owner_of(jnp.maximum(uniq2, 0))
+
+    # Phase B (DCN): route to the owner node; my device column is
+    # already the owner's column, so the receiver owns every id it gets.
+    b_ids, b_perm, b_counts, b_offsets = _bucket_by_key(
+        uniq2, owner2 // d, n_nodes)
+    recvB, b_recv_sizes, b_recv_offsets = _ragged_a2a(
+        b_ids, b_offsets, b_counts, node_axis, n_nodes * d * b)
+    # DCN id volume: valid ids sent to OTHER nodes (test observability).
+    my_node = jax.lax.axis_index(node_axis)
+    valid_counts = jnp.bincount(
+        jnp.where(uniq2 >= 0, jnp.clip(owner2 // d, 0, n_nodes - 1),
+                  n_nodes), length=n_nodes + 1)[:n_nodes]
+    dcn_sent = (jnp.sum(valid_counts)
+                - valid_counts[my_node])[None]
+
+    # Local gather at the owner (rank = node * d + my column).
+    my_rank = my_node * d + jax.lax.axis_index(dev_axis)
+    row_start = jnp.take(jnp.asarray(np.asarray(book.offsets[:-1])), my_rank)
+    my_count = jnp.take(jnp.asarray(np.asarray(book.counts)), my_rank)
+    local = recvB - row_start
+    ok = (recvB >= 0) & (local >= 0) & (local < my_count)
     rows = table[jnp.where(ok, local, 0)]
-    rows = jnp.where(ok[:, None], rows, jnp.asarray(fill, rows.dtype))
-    back = alltoallv(rows, recv_offsets, recv_sizes, offsets, counts,
-                     axis, b)
-    inv_perm = jnp.zeros_like(perm).at[perm].set(jnp.arange(b))
-    uniq_rows = back[inv_perm]
-    # expand dedup: original position i -> uniq_rows[inv[i]]
+    rows = jnp.where(ok[:, None], rows, fillv.astype(rows.dtype))
+
+    # Phase C: reverse node axis -> expand node dedup -> reverse device
+    # axis -> expand local dedup.
+    backB = alltoallv(rows, b_recv_offsets, b_recv_sizes, b_offsets,
+                      b_counts, node_axis, d * b)
+    inv_permB = jnp.zeros_like(b_perm).at[b_perm].set(jnp.arange(d * b))
+    uniq2_rows = backB[inv_permB]
+    rowsA = jnp.where((inv2 >= 0)[:, None],
+                      uniq2_rows[jnp.clip(inv2, 0)],
+                      fillv.astype(uniq2_rows.dtype))
+    backA = alltoallv(rowsA, a_recv_offsets, a_recv_sizes, a_offsets,
+                      a_counts, dev_axis, b)
+    inv_permA = jnp.zeros_like(a_perm).at[a_perm].set(jnp.arange(b))
+    uniq_rows = backA[inv_permA]
     out = uniq_rows[jnp.clip(inv, 0)]
-    return jnp.where((inv >= 0)[:, None], out, jnp.asarray(fill, out.dtype))
+    return (jnp.where((inv >= 0)[:, None], out,
+                      fillv.astype(out.dtype)), dcn_sent)
 
 
 class HierarchicalDistArray:
@@ -119,15 +161,22 @@ class HierarchicalDistArray:
 
     def gather(self, ids, fill=0):
         """ids sharded over both axes (each device queries its slice)."""
+        return self.gather_with_stats(ids, fill=fill)[0]
+
+    def gather_with_stats(self, ids, fill=0):
+        """Gather plus per-device DCN id volume: ``stats[r]`` counts the
+        deduplicated ids device ``r`` shipped to *other* nodes over the
+        node (DCN) axis — the quantity the two-phase design minimises
+        (ref gather_op_impl_hierarchy.cu's cross-node alltoallv)."""
         f = functools.partial(
             _hier_gather_shard, book=self.book, node_axis=self.node_axis,
             dev_axis=self.dev_axis, world_dev=self.mesh.shape[self.dev_axis],
             fill=fill)
+        spec = P((self.node_axis, self.dev_axis))
         shard = jax.shard_map(
             f, mesh=self.mesh,
-            in_specs=(P((self.node_axis, self.dev_axis)),
-                      P((self.node_axis, self.dev_axis))),
-            out_specs=P((self.node_axis, self.dev_axis)))
+            in_specs=(spec, spec),
+            out_specs=(spec, spec))
         return shard(self.data, ids)
 
     def to_global(self):

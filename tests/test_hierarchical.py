@@ -43,3 +43,47 @@ def test_hier_gather_skewed(mesh2d, rng):
     ids = rng.integers(0, 8, b).astype(np.int32)
     out = np.asarray(arr.gather(jnp.asarray(ids)))
     np.testing.assert_allclose(out, host[ids], rtol=1e-6)
+
+
+def test_hier_dcn_dedup_across_siblings(mesh2d, rng):
+    """Two-phase property: ids queried by SEVERAL sibling devices of one
+    node cross the DCN (node) axis exactly once in total — the node-level
+    dedup of phase A (ref gather_op_impl_hierarchy.cu:23-105).  The v1
+    single-exchange design shipped one copy per querying device."""
+    n, f = 128, 4
+    host = rng.standard_normal((n, f)).astype(np.float32)
+    arr = HierarchicalDistArray.from_array(host, mesh2d)
+    # world=8, shard_size=16: node 0 owns rows 0-63, node 1 rows 64-127.
+    # All four node-0 devices query the SAME remote rows 64..71 (owned by
+    # rank 4 = (node 1, dev 0)); node-1 devices query them too (local).
+    per_dev = np.arange(64, 72, dtype=np.int32)
+    ids = np.concatenate([per_dev] * 8)
+    out, stats = arr.gather_with_stats(jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(out), host[ids], rtol=1e-6)
+    stats = np.asarray(stats)
+    # node 0 (devices 0-3): 32 raw requests dedup to 8 unique DCN ids
+    assert stats[:4].sum() == 8, stats
+    # node 1 (devices 4-7): the rows are node-local, nothing crosses DCN
+    assert stats[4:].sum() == 0, stats
+
+
+def test_hier_dcn_mixed_ownership(mesh2d, rng):
+    """DCN volume counts only cross-node uniques, per owner column."""
+    n, f = 128, 4
+    host = rng.standard_normal((n, f)).astype(np.float32)
+    arr = HierarchicalDistArray.from_array(host, mesh2d)
+    # Each node-0 device queries 4 remote rows from rank 5 (rows 80-95,
+    # dev column 1) plus 4 local rows; remote sets overlap pairwise.
+    dev_slices = [
+        np.array([80, 81, 82, 83, 0, 1, 2, 3], np.int32),
+        np.array([82, 83, 84, 85, 4, 5, 6, 7], np.int32),
+        np.array([84, 85, 86, 87, 8, 9, 10, 11], np.int32),
+        np.array([86, 87, 88, 89, 12, 13, 14, 15], np.int32),
+    ] + [np.arange(64, 72, dtype=np.int32)] * 4
+    ids = np.concatenate(dev_slices)
+    out, stats = arr.gather_with_stats(jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(out), host[ids], rtol=1e-6)
+    stats = np.asarray(stats)
+    # unique remote ids from node 0: 80..89 -> 10 (not 16 raw)
+    assert stats[:4].sum() == 10, stats
+    assert stats[4:].sum() == 0, stats
