@@ -65,10 +65,8 @@ class FeatureStore:
                 [tensor, np.zeros((tensor.shape[0], padw), tensor.dtype)],
                 axis=1)
         if location == "host":
-            from cugraph_gnn_tpu.embedding.cache import (
-                CachePolicy,
-                DeviceLFUCache,
-            )
+            from cugraph_gnn_tpu.embedding.cache import CachePolicy
+            from cugraph_gnn_tpu.embedding.cached import HostManagedCache
             policy = cache_policy or CachePolicy()
             if tensor.ndim == 1:
                 tensor = tensor[:, None]
@@ -76,7 +74,9 @@ class FeatureStore:
             else:
                 kind = "host"
             cap = policy.capacity_for(tensor.shape[0])
-            cache = (DeviceLFUCache(tensor, cap, ways=policy.ways)
+            # host-managed tags: hit/miss planning never syncs the device
+            # (the round-1 DeviceLFUCache's per-batch readback is gone)
+            cache = (HostManagedCache(tensor, cap, ways=policy.ways)
                      if cap else None)
             self._store[key] = (kind, (tensor, cache))
             return
@@ -131,6 +131,14 @@ class FeatureStore:
                 ok[(...,) + (None,) * (rows.ndim - ids.ndim)], rows, z)
         rows = val.gather(ids)
         return rows[:, 0] if kind == "1d" else rows
+
+    def prefetch(self, group_name: Optional[str], attr_name: str, ids):
+        """Start the host-side fetch for the NEXT ``get_tensor(ids=...)``
+        of a host-located tensor in a worker thread (double-buffered
+        input pipeline).  No-op for device-resident tensors."""
+        kind, val = self._store[self._key(group_name, attr_name)]
+        if kind in ("host", "host1d") and val[1] is not None:
+            val[1].prefetch(ids)
 
     def remove_tensor(self, group_name: Optional[str], attr_name: str):
         self._store.pop(self._key(group_name, attr_name), None)

@@ -1,3 +1,7 @@
+from cugraph_gnn_tpu.embedding.cached import (
+    CachedHostEmbedding,
+    HostManagedCache,
+)
 from cugraph_gnn_tpu.embedding.embedding import (
     DistEmbedding,
     EmbeddingOptimizer,
@@ -6,8 +10,10 @@ from cugraph_gnn_tpu.embedding.embedding import (
 from cugraph_gnn_tpu.embedding.optimizers import SPECS, UPDATE_FNS
 
 __all__ = [
+    "CachedHostEmbedding",
     "DistEmbedding",
     "EmbeddingOptimizer",
+    "HostManagedCache",
     "SPECS",
     "UPDATE_FNS",
     "dedup_ids_grads",

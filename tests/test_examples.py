@@ -60,3 +60,17 @@ def test_ogbn_convert_example(tmp_path):
                 ["--out", str(tmp_path), "--synthetic", "200", "800", "16",
                  "--parts", "4"])
     assert (tmp_path / "meta.json").exists()
+
+
+def test_hetero_link_pred_example():
+    run_example("hetero_link_pred.py",
+                ["--epochs", "1", "--batch-size", "16",
+                 "--num-papers", "200", "--num-authors", "100",
+                 "--num-writes", "600", "--neighbors", "3,3"])
+
+
+def test_cached_embedding_example():
+    run_example("cached_embedding_training.py",
+                ["--epochs", "1", "--batch-size", "32",
+                 "--num-nodes", "1000", "--num-edges", "5000",
+                 "--neighbors", "3,3"])
