@@ -16,6 +16,14 @@ all inside a single shard_map, so XLA schedules the whole step without
 host round-trips.  The 'store' axis doubles as the data-parallel axis
 (each device is both a DP worker and a feature/graph shard), mirroring
 the reference deployment.
+
+Overlap design note: the reference overlaps hop-(l+1) sampling with
+hop-l feature fetch via CUDA streams.  XLA:TPU executes a program's
+thunks serially (measured, PERF_NOTES.md), so intra-step overlap is not
+expressible; the TPU equivalent is cross-STEP pipelining, which this
+loader gets for free — ``__iter__`` performs no device->host readback,
+so the host enqueues step i+1's program while step i still executes and
+sampling/gather/train of consecutive batches overlap in the XLA queue.
 """
 
 from __future__ import annotations

@@ -122,10 +122,17 @@ class EllBuckets:
         deg = (indptr[1:] - indptr[:-1]).astype(np.int64)
         self.num_rows = n
         self.degrees = jnp.asarray(np.maximum(deg, 1).astype(np.float32))
-        # fine-grained widths: padding waste is the gather overhead
-        # (measured: the bucket gathers run at full XLA gather speed, so
-        # total time ~ padded_edges / gather_rate); steps of 4 up to 32
-        # then powers of two cap waste at ~1.15x instead of 2x
+        # Fine-grained widths: composite throughput is pad-ratio bound.
+        # Measured on v5e at products scale (30.5M-edge power-law, f32
+        # F=128): the composite (R,K,F) gather+reduce sustains ~67-81
+        # GB/s *padded* regardless of width set, select-mask fusion
+        # (where / take-fill / zero-row identical), program splitting
+        # (multi-call, optimization_barrier identical) — so minimum
+        # padding (1.09x with these steps vs 1.31x with power-of-two-ish
+        # sets) wins: 62 vs 58 GB/s effective.  Isolated single-bucket
+        # runs reach 104-113 GB/s padded; the composite gap is an XLA
+        # scheduling property, not a width-tiling one (bf16 rows are
+        # ~25% slower in ms; per-column unrolling everywhere is worse).
         ks = sorted({*range(4, 33, 4), 2, 1, 48, 64, 128, 256})
         ks = [k for k in ks if k <= max_k]
         if not ks or ks[-1] != max_k:
@@ -172,13 +179,40 @@ class EllBuckets:
             self.heavy_rows = None
 
 
-def ell_spmm(buckets: EllBuckets, x, reduce: str = "sum"):
-    """out[r] = reduce over CSR row r of x[cols], via degree buckets."""
+def ell_spmm(buckets: EllBuckets, x, reduce: str = "sum",
+             unroll_threshold: int = 4):
+    """out[r] = reduce over CSR row r of x[cols], via degree buckets.
+
+    Two bucket-partial forms, both measured on v5e at products scale
+    (2.45M x 128 f32 table):
+
+    * k <= 4: per-column flat gathers + unrolled accumulate — K separate
+      (R, F) gathers fuse into the running sum (K=2: 66 -> 103 GB/s,
+      K=4: 88 -> 111 GB/s effective).
+    * k > 4: the 3-D (R, K, F) gather + masked axis reduce (the mask
+      select fuses into the gather — a zero-row no-select variant
+      measured identical); the unrolled form regressed the composite
+      62.8 -> 54 GB/s when applied everywhere."""
     n = buckets.num_rows
     f = x.shape[1]
     neg = jnp.asarray(jnp.finfo(x.dtype).min, x.dtype)
 
     def bucket_partial(neigh):
+        k = neigh.shape[1]
+        if k <= unroll_threshold:
+            acc = None
+            fill = neg if reduce == "max" else jnp.asarray(0, x.dtype)
+            for j in range(k):
+                nj = neigh[:, j]
+                ok = (nj >= 0)[:, None]
+                xj = jnp.where(ok, x[jnp.clip(nj, 0)], fill)
+                if acc is None:
+                    acc = xj
+                elif reduce == "max":
+                    acc = jnp.maximum(acc, xj)
+                else:
+                    acc = acc + xj
+            return acc
         mask = neigh >= 0
         xn = x[jnp.clip(neigh, 0)]
         if reduce == "max":
