@@ -5,6 +5,10 @@ from cugraph_gnn_tpu.sampler.disjoint import (
 )
 from cugraph_gnn_tpu.sampler.dist_sampler import DistGraph, DistNeighborSampler
 from cugraph_gnn_tpu.sampler.hetero import HeteroMultihopBatch, HeteroNeighborSampler
+from cugraph_gnn_tpu.sampler.hetero_dist import (
+    HeteroDistGraph,
+    HeteroDistNeighborSampler,
+)
 from cugraph_gnn_tpu.sampler.negative import NegativeSampling, sample_negative_edges
 from cugraph_gnn_tpu.sampler.neighbor_sampler import (
     NeighborSampler,
@@ -28,6 +32,8 @@ __all__ = [
     "DisjointNeighborSampler",
     "DistGraph",
     "DistNeighborSampler",
+    "HeteroDistGraph",
+    "HeteroDistNeighborSampler",
     "HeteroMultihopBatch",
     "HeteroNeighborSampler",
     "HopBlock",
