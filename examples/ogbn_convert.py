@@ -46,6 +46,10 @@ def main():
         src = rng.integers(0, n, e).astype(np.int32)
         dst = rng.integers(0, n, e).astype(np.int32)
         num_classes = 40
+        perm = rng.permutation(n)
+        splits = {"train": perm[: int(0.6 * n)],
+                  "valid": perm[int(0.6 * n): int(0.8 * n)],
+                  "test": perm[int(0.8 * n):]}
     else:
         from ogb.nodeproppred import NodePropPredDataset
         dataset = NodePropPredDataset(name=args.dataset)
@@ -57,6 +61,7 @@ def main():
         n, f = feat.shape
         e = len(src)
         num_classes = int(dataset.num_classes)
+        splits = dataset.get_idx_split()
 
     # feature shard files (row-partitioned, even split like the reference)
     bounds = np.linspace(0, n, args.parts + 1).astype(np.int64)
@@ -68,6 +73,9 @@ def main():
     labels.tofile(os.path.join(args.out, "labels.bin"))
     src.tofile(os.path.join(args.out, "edges_src.bin"))
     dst.tofile(os.path.join(args.out, "edges_dst.bin"))
+    for name, idx in splits.items():
+        np.asarray(idx).astype(np.int64).tofile(
+            os.path.join(args.out, f"{name}_idx.bin"))
     with open(os.path.join(args.out, "meta.json"), "w") as fh:
         json.dump({
             "num_nodes": int(n), "num_edges": int(e), "feat_dim": int(f),

@@ -74,3 +74,12 @@ def test_cached_embedding_example():
                 ["--epochs", "1", "--batch-size", "32",
                  "--num-nodes", "1000", "--num-edges", "5000",
                  "--neighbors", "3,3"])
+
+
+def test_ogbn_train_example(tmp_path):
+    run_example("ogbn_convert.py",
+                ["--out", str(tmp_path), "--synthetic", "300", "2400", "16",
+                 "--parts", "4"])
+    run_example("ogbn_train.py",
+                ["--dir", str(tmp_path), "--epochs", "2",
+                 "--batch-size", "32", "--neighbors", "4,4"])
