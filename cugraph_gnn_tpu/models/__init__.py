@@ -1,11 +1,26 @@
-from cugraph_gnn_tpu.models.conv import GATConv, GCNConv, RGCNConv, SAGEConv
-from cugraph_gnn_tpu.models.zoo import GAT, GCN, GraphSAGE, MultihopModel, RGCN
+from cugraph_gnn_tpu.models.conv import (
+    GATConv,
+    GCNConv,
+    GINConv,
+    RGCNConv,
+    SAGEConv,
+)
+from cugraph_gnn_tpu.models.zoo import (
+    GAT,
+    GCN,
+    GIN,
+    GraphSAGE,
+    MultihopModel,
+    RGCN,
+)
 
 __all__ = [
     "GAT",
     "GCN",
+    "GIN",
     "GATConv",
     "GCNConv",
+    "GINConv",
     "GraphSAGE",
     "MultihopModel",
     "RGCN",

@@ -179,6 +179,47 @@ class GATConv(nn.Module):
         return self._out(agg)
 
 
+class GINConv(nn.Module):
+    """Graph isomorphism network convolution (PyG GINConv semantics,
+    ref cugraph_pyg/examples/dist_gin_sg.py model family):
+
+    h = MLP((1 + eps) * x_dst + sum_{j in N(dst)} x_j)
+
+    MLP is the standard 2-layer Dense-ReLU-Dense; ``eps`` is trainable
+    when ``train_eps`` (PyG default init 0).
+    """
+
+    features: int
+    hidden_features: Optional[int] = None
+    train_eps: bool = False
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        hid = self.hidden_features or self.features
+        self.mlp_1 = nn.Dense(hid, use_bias=self.use_bias,
+                              dtype=self.dtype, name="mlp_1")
+        self.mlp_2 = nn.Dense(self.features, use_bias=self.use_bias,
+                              dtype=self.dtype, name="mlp_2")
+        if self.train_eps:
+            self.eps = self.param("eps", nn.initializers.zeros, ())
+        else:
+            self.eps = 0.0
+
+    def _mlp(self, z):
+        return self.mlp_2(nn.relu(self.mlp_1(z)))
+
+    def __call__(self, x_dst, x_neigh, mask):
+        agg = fanout_aggregate(x_neigh, mask, "sum")
+        one = jnp.asarray(1.0, agg.dtype)
+        return self._mlp((one + self.eps) * x_dst + agg)
+
+    def full(self, x, src, dst, num_nodes: int):
+        agg = segment_spmm(x, src, dst, num_nodes, reduce="sum")
+        one = jnp.asarray(1.0, agg.dtype)
+        return self._mlp((one + self.eps) * x[:num_nodes] + agg)
+
+
 class RGCNConv(nn.Module):
     """Relational GCN: per-relation transforms + root transform
     (per BASELINE.json config 4; PyG RGCNConv semantics, mean aggr per

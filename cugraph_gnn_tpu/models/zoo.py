@@ -14,7 +14,13 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from cugraph_gnn_tpu.models.conv import GATConv, GCNConv, RGCNConv, SAGEConv
+from cugraph_gnn_tpu.models.conv import (
+    GATConv,
+    GCNConv,
+    GINConv,
+    RGCNConv,
+    SAGEConv,
+)
 from cugraph_gnn_tpu.sampler.output import MultihopBatch
 
 
@@ -51,9 +57,17 @@ class MultihopModel(nn.Module):
         for li in range(num_hops - 1, -1, -1):
             conv = self.convs[num_hops - 1 - li]
             hop = batch.hops[li]
-            s_l = hop.neigh_local.shape[0]
+            s_l, k = hop.neigh_local.shape
             x_dst = h[:s_l]
-            x_neigh = _gather_neigh(h, hop.neigh_local)
+            if batch.static_layout and h.shape[0] == s_l * (k + 1):
+                # dedup=False positional layout: the neighbors of level l
+                # are exactly rows [s_l, s_l*(k+1)) of level l+1 in order
+                # — a free slice+reshape replaces the row gather (padded
+                # slots are masked by the conv either way).
+                x_neigh = jax.lax.slice_in_dim(
+                    h, s_l, s_l * (k + 1)).reshape(s_l, k, h.shape[-1])
+            else:
+                x_neigh = _gather_neigh(h, hop.neigh_local)
             h = conv(x_dst, x_neigh, hop.mask)
             if li != 0:
                 h = nn.relu(h)
@@ -86,6 +100,16 @@ class GCN(MultihopModel):
     def make_convs(self):
         dims = [self.hidden_features] * (self.num_layers - 1) + [self.out_features]
         return [GCNConv(d, dtype=self.dtype, name=f"conv_{i}")
+                for i, d in enumerate(dims)]
+
+
+class GIN(MultihopModel):
+    """GIN stack (ref cugraph_pyg/examples/dist_gin_sg.py)."""
+
+    def make_convs(self):
+        dims = [self.hidden_features] * (self.num_layers - 1) + [self.out_features]
+        return [GINConv(d, hidden_features=self.hidden_features,
+                        dtype=self.dtype, name=f"conv_{i}")
                 for i, d in enumerate(dims)]
 
 

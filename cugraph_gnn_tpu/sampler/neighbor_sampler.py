@@ -90,7 +90,8 @@ def multihop_uniform(key, indptr, indices, seeds, fanouts,
         levels.append(next_level)
         level_counts.append(jnp.sum(next_level >= 0).astype(jnp.int32))
     return MultihopBatch(levels=levels, level_counts=level_counts,
-                         hops=hops, seed_count=level_counts[0])
+                         hops=hops, seed_count=level_counts[0],
+                         static_layout=not dedup)
 
 
 class NeighborSampler:
@@ -238,6 +239,7 @@ class NeighborSampler:
             level_counts=level_counts,
             hops=hops,
             seed_count=level_counts[0],
+            static_layout=not self.dedup,
         )
 
     def sample(self, key, seeds, node_times=None) -> MultihopBatch:

@@ -57,6 +57,14 @@ class MultihopBatch(NamedTuple):
     level_counts: List[jax.Array]
     hops: List[HopBlock]
     seed_count: jax.Array
+    # Static (pytree-aux) layout flag: True when levels follow the
+    # dedup=False positional layout — levels[l+1] = [targets | neighbors
+    # row-major], i.e. hops[l].neigh_local is exactly
+    # S_l + arange(S_l*k_l) at the valid slots.  Consumers (models) can
+    # then read neighbor activations with a free slice+reshape instead
+    # of a row gather — on v5e the hop-1 gather of ~113k rows is
+    # row-rate-bound (~227M rows/s), so this removes ~0.5 ms/step.
+    static_layout: bool = False
 
     @property
     def num_hops(self) -> int:
@@ -70,8 +78,9 @@ class MultihopBatch(NamedTuple):
 
 jax.tree_util.register_pytree_node(
     MultihopBatch,
-    lambda b: ((b.levels, b.level_counts, b.hops, b.seed_count), None),
-    lambda _, c: MultihopBatch(*c),
+    lambda b: ((b.levels, b.level_counts, b.hops, b.seed_count),
+               b.static_layout),
+    lambda aux, c: MultihopBatch(*c, static_layout=aux),
 )
 
 

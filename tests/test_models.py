@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from cugraph_gnn_tpu.models import GAT, GCN, GraphSAGE, RGCN
+from cugraph_gnn_tpu.models import GAT, GCN, GIN, GraphSAGE, RGCN
 from cugraph_gnn_tpu.ops import coo_to_csr_np
 from cugraph_gnn_tpu.sampler import NeighborSampler
 
@@ -135,3 +135,50 @@ def test_gat_sampled_equals_full_with_full_fanout(karate):
     np.testing.assert_allclose(
         np.asarray(out_sampled), np.asarray(out_full)[:n], rtol=2e-3,
         atol=2e-4)
+
+
+@pytest.mark.parametrize("model_cls", [GraphSAGE, GCN, GAT, GIN])
+def test_static_layout_slice_equals_gather(karate, model_cls):
+    """dedup=False batches carry static_layout=True; the model's
+    slice+reshape neighbor read must bit-match the explicit row gather
+    (same batch with the flag cleared)."""
+    (indptr, indices), _ = coo_to_csr_np(
+        karate.dst, karate.src, karate.num_nodes, sort_by="src")
+    sampler = NeighborSampler(indptr, indices, [4, 4], dedup=False)
+    seeds = jnp.asarray([0, 1, 2, 3, -1, 5, 33, 7], jnp.int32)
+    batch = sampler.sample(jax.random.PRNGKey(0), seeds)
+    assert batch.static_layout
+    # Padded input slots get zero features, as the loaders produce.
+    inp = batch.input_nodes
+    x = jax.random.normal(jax.random.PRNGKey(1), (inp.shape[0], 16))
+    x = jnp.where((inp >= 0)[:, None], x, 0)
+    model = model_cls(hidden_features=32, out_features=4, num_layers=2)
+    params = model.init(jax.random.PRNGKey(2), x, batch)
+    out_slice = model.apply(params, x, batch)
+    out_gather = model.apply(params, x, batch._replace(static_layout=False))
+    np.testing.assert_array_equal(np.asarray(out_slice),
+                                  np.asarray(out_gather))
+    assert np.isfinite(np.asarray(out_slice)).all()
+
+
+def test_gin_sampled_equals_full_with_full_fanout(karate):
+    """GIN (sum aggregation): sampled with fanout >= max degree must
+    equal full-batch (ref dist_gin_sg.py model family)."""
+    n = karate.num_nodes
+    deg_max = int(np.bincount(karate.dst, minlength=n).max())
+    sampler = build_sampler(karate, [deg_max, deg_max])
+    seeds = jnp.arange(n, dtype=jnp.int32)
+    batch = sampler.sample(jax.random.PRNGKey(0), seeds)
+    x_full = jax.random.normal(jax.random.PRNGKey(1), (n, 8))
+    model = GIN(hidden_features=16, out_features=4, num_layers=2)
+    inp = batch.input_nodes
+    x_in = jnp.where((inp >= 0)[:, None], x_full[jnp.clip(inp, 0)], 0)
+    params = model.init(jax.random.PRNGKey(2), x_in, batch)
+    out_sampled = model.apply(params, x_in, batch)
+    src = jnp.asarray(karate.src)
+    dst = jnp.asarray(karate.dst)
+    out_full = model.apply(params, x_full, src, dst, n,
+                           method=lambda m, x, s, d, nn_: m.full(x, s, d, nn_))
+    np.testing.assert_allclose(
+        np.asarray(out_sampled), np.asarray(out_full)[:n], rtol=2e-4,
+        atol=2e-5)
