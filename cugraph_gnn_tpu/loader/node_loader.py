@@ -182,8 +182,23 @@ class NeighborLoader(NodeLoader):
         capacities (memory budget); disjoint=True samples an independent
         subgraph per seed (PyG disjoint mode, ref
         distributed_sampler.py:168-218) — batches then carry (B, cap)
-        per-seed arrays and a ``sample.batch`` seed-of-node vector."""
+        per-seed arrays and a ``sample.batch`` seed-of-node vector.
+        max_unique_per_hop="auto" sizes the caps from device memory
+        (the reference's local_seeds_per_call estimate, ref
+        distributed_sampler.py:837-875)."""
         feature_store, graph_store = data
+        if max_unique_per_hop == "auto":
+            from cugraph_gnn_tpu.sampler.heuristics import (
+                resolve_max_unique_per_hop,
+            )
+            x_attr = kwargs.get("x_attr", "x")
+            fd = None
+            if ("", x_attr) in feature_store:
+                size = feature_store.get_tensor_size("", x_attr)
+                fd = size[-1] if len(size) > 1 else 1
+            max_unique_per_hop = resolve_max_unique_per_hop(
+                "auto", batch_size, num_neighbors, fd)
+            dedup = True  # caps require the dedup renumbering layout
         sampler = build_neighbor_sampler(
             feature_store, graph_store, num_neighbors,
             weight_attr=weight_attr, time_attr=time_attr, dedup=dedup,

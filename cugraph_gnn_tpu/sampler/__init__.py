@@ -5,6 +5,10 @@ from cugraph_gnn_tpu.sampler.disjoint import (
 )
 from cugraph_gnn_tpu.sampler.dist_sampler import DistGraph, DistNeighborSampler
 from cugraph_gnn_tpu.sampler.hetero import HeteroMultihopBatch, HeteroNeighborSampler
+from cugraph_gnn_tpu.sampler.heuristics import (
+    auto_max_unique_per_hop,
+    resolve_max_unique_per_hop,
+)
 from cugraph_gnn_tpu.sampler.hetero_dist import (
     HeteroDistGraph,
     HeteroDistNeighborSampler,
@@ -38,6 +42,7 @@ __all__ = [
     "HeteroNeighborSampler",
     "HopBlock",
     "MultihopBatch",
+    "auto_max_unique_per_hop",
     "NegativeSampling",
     "NeighborSampler",
     "level_capacities",
@@ -45,6 +50,7 @@ __all__ = [
     "sample_negative_edges",
     "to_coo",
     "to_coo_disjoint",
+    "resolve_max_unique_per_hop",
     "to_csc",
     "uniform_sample_np",
 ]

@@ -1,0 +1,94 @@
+"""Memory-budget heuristics for sampler level capacities.
+
+The reference sizes its sampling call groups from GPU memory:
+``local_seeds_per_call = BASE_VERTICES_PER_BYTE * total_memory /
+prod(fanouts)`` (ref cugraph_pyg/sampler/distributed_sampler.py:754-875
+``__calc_local_seeds_per_call``).  On TPU the shapes are static, so the
+same lever is the per-hop unique-node capacity (``max_unique_per_hop``):
+this module derives those caps from the chip's HBM instead of asking the
+user to guess them.  ``NeighborLoader(max_unique_per_hop="auto")`` and
+``DistNeighborLoader`` route here.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+_DEFAULT_HBM = 16 * 1024**3  # v5e per-chip HBM when stats are unavailable
+
+
+def device_memory_bytes() -> int:
+    """Best-effort per-device memory size (bytes_limit when the backend
+    reports it; a v5e-sized default otherwise — CPU test meshes land
+    here, which is fine: the caps only need to be *consistent*)."""
+    try:
+        import jax
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and "bytes_limit" in stats:
+            return int(stats["bytes_limit"])
+    except Exception:
+        pass
+    return _DEFAULT_HBM
+
+
+def auto_max_unique_per_hop(
+    batch_size: int,
+    fanouts: Sequence[int],
+    feat_dim: int,
+    *,
+    feat_bytes: int = 4,
+    memory_bytes: Optional[int] = None,
+    memory_fraction: float = 0.25,
+    copies: int = 6,
+) -> List[int]:
+    """Per-hop unique-node caps sized to an HBM budget.
+
+    Model: every level's feature activations (and their gradients,
+    optimizer copies and XLA temporaries — the ``copies`` multiplier)
+    are live at once, and the deepest level dominates.  Each level cap
+    is the number of feature rows that fits in an equal share of
+    ``memory_fraction * memory_bytes``, never above the combinatorial
+    worst case ``caps[l] * (fanout + 1)``.
+
+    Returns a list of length ``len(fanouts)`` suitable for
+    ``max_unique_per_hop=`` (requires dedup=True, same as the manual
+    knob).  Mirrors the intent of the reference's
+    ``BASE_VERTICES_PER_BYTE`` estimate: scale workload to memory, not
+    the other way round.
+    """
+    fanouts = [int(f) for f in fanouts]
+    if any(f <= 0 for f in fanouts):
+        raise ValueError("auto caps need positive fanouts")
+    if memory_bytes is None:
+        memory_bytes = device_memory_bytes()
+    budget = memory_bytes * memory_fraction
+    levels = len(fanouts)
+    row_bytes = max(1, int(feat_dim) * int(feat_bytes) * int(copies))
+    per_level_rows = int(budget / levels / row_bytes)
+    per_level_rows = max(per_level_rows, batch_size)  # never below seeds
+    caps = []
+    prev = int(batch_size)
+    for f in fanouts:
+        worst = prev * (f + 1)
+        cap = min(worst, per_level_rows)
+        caps.append(cap)
+        prev = cap
+    return caps
+
+
+def resolve_max_unique_per_hop(max_unique_per_hop, batch_size, fanouts,
+                               feat_dim: Optional[int],
+                               feat_bytes: int = 4):
+    """Loader-side resolution of the ``max_unique_per_hop`` knob:
+    pass-through for None/explicit lists, computed for ``"auto"``."""
+    if max_unique_per_hop != "auto":
+        return max_unique_per_hop
+    if isinstance(fanouts, dict):
+        # hetero fanout dict: per-target expansion is the sum over etypes
+        hop_len = {len(v) for v in fanouts.values()}
+        assert len(hop_len) == 1
+        fanouts = [sum(v[h] for v in fanouts.values())
+                   for h in range(hop_len.pop())]
+    return auto_max_unique_per_hop(
+        batch_size, fanouts, feat_dim if feat_dim else 128,
+        feat_bytes=feat_bytes)

@@ -174,3 +174,29 @@ def test_neighbor_loader_fast_path(karate):
     out = model.apply(params, b.x, b.sample)
     assert out.shape == (8, 2)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_auto_max_unique_per_hop_caps():
+    """The 'auto' capacity heuristic (ref distributed_sampler.py:837-875
+    local_seeds_per_call analog): caps respect the memory budget and the
+    combinatorial worst case, and the loader accepts the knob."""
+    from cugraph_gnn_tpu.sampler.heuristics import auto_max_unique_per_hop
+
+    caps = auto_max_unique_per_hop(64, [10, 10], feat_dim=128,
+                                   memory_bytes=16 * 2**30)
+    assert caps[0] == 64 * 11          # worst case smaller than budget
+    assert caps[1] <= caps[0] * 11
+    # tiny budget clamps to the per-level row budget (never below seeds)
+    tight = auto_max_unique_per_hop(64, [10, 10], feat_dim=128,
+                                    memory_bytes=2**20)
+    assert tight[0] >= 64 and tight[0] < 64 * 11
+    assert tight[1] <= tight[0] * 11
+
+
+def test_neighbor_loader_auto_caps(karate):
+    fs, gs = make_stores(karate)
+    loader = NeighborLoader((fs, gs), [4, 4], batch_size=8,
+                            max_unique_per_hop="auto")
+    batch = next(iter(loader))
+    assert np.asarray(batch.y).shape == (8,)
+    assert np.isfinite(np.asarray(batch.x)).all()
