@@ -55,7 +55,11 @@ class DistNeighborLoader:
 
     The global batch is padded up to a multiple of the mesh axis size;
     pad seeds are -1 and masked everywhere (``NodeBatch.num_valid``).
-    Homogeneous graphs only (hetero distributed: HeteroDistSampler).
+    Heterogeneous stores route through HeteroDistNeighborSampler:
+    batches then carry a HeteroMultihopBatch and per-node-type feature
+    dicts (the multi-rank analog of the single-chip hetero NeighborLoader,
+    ref cugraph_pyg/loader/neighbor_loader.py:162-201 + the multi-GPU
+    dispatcher ref distributed_sampler.py:53-94).
     """
 
     def __init__(self, data: Tuple[FeatureStore, GraphStore],
@@ -70,31 +74,25 @@ class DistNeighborLoader:
                  axis: str = STORE_AXIS):
         feature_store, graph_store = data
         graph = graph_store.finalize()
-        if not graph.is_homogeneous:
-            raise NotImplementedError(
-                "DistNeighborLoader is homogeneous-only; heterogeneous "
-                "distributed sampling: sampler.hetero_dist")
         self.mesh = mesh
         self.axis = axis
+        self.graph_store = graph_store
+        self.hetero = not graph.is_homogeneous
         world = mesh.shape[axis]
-
-        indptr, indices = graph.homogeneous_csr()
-        et = graph.etypes[0]
-        weights = times = None
-        if weight_attr is not None:
-            w = feature_store.get_tensor("", weight_attr)
-            weights = np.asarray(_edge_attr_to_csr_order(
-                graph_store, graph, et, w))
-        if time_attr is not None:
-            t = feature_store.get_tensor("", time_attr)
-            times = np.asarray(_edge_attr_to_csr_order(
-                graph_store, graph, et, t))
-        self.dist_graph = DistGraph.from_global_csr(
-            np.asarray(indptr), np.asarray(indices), mesh, axis=axis,
-            weights=weights, times=times)
-        self.sampler = DistNeighborSampler(
-            self.dist_graph, num_neighbors, dedup=dedup,
-            max_unique_per_hop=max_unique_per_hop)
+        if max_unique_per_hop == "auto":
+            from cugraph_gnn_tpu.sampler.heuristics import (
+                resolve_max_unique_per_hop,
+            )
+            local_batch = -(-int(batch_size) // world)
+            fd = None
+            for grp in [""] + list(graph_store.node_types):
+                if (grp, x_attr) in feature_store:
+                    size = feature_store.get_tensor_size(grp, x_attr)
+                    fd = size[-1] if len(size) > 1 else 1
+                    break
+            max_unique_per_hop = resolve_max_unique_per_hop(
+                "auto", local_batch, num_neighbors, fd)
+            dedup = True
 
         def dist_of(group, attr, dtype=None):
             """Reuse the store's DistArray when it lives on this mesh;
@@ -110,13 +108,88 @@ class DistNeighborLoader:
                 full = full[:, None]
             return DistArray.from_array(full, mesh, axis, dtype=dtype)
 
-        self.features = dist_of("", x_attr)
-        self.labels = dist_of("", y_attr)
+        self.input_type = None
+        if self.hetero:
+            from cugraph_gnn_tpu.data.graph_store import edge_type_str
+            from cugraph_gnn_tpu.sampler.hetero_dist import (
+                HeteroDistGraph,
+                HeteroDistNeighborSampler,
+            )
+
+            def collect(attr):
+                if attr is None:
+                    return None
+                out = {}
+                for et in graph.etypes:
+                    ekey = edge_type_str(et)
+                    if (ekey, attr) in feature_store:
+                        out[et] = np.asarray(_edge_attr_to_csr_order(
+                            graph_store, graph, et,
+                            feature_store.get_tensor(ekey, attr)))
+                if not out:
+                    raise KeyError(
+                        f"no edge type has attribute {attr!r} in the "
+                        "feature store (keys are (edge_type_str, attr))")
+                return out
+
+            self.dist_graph = HeteroDistGraph.from_sampling_graph(
+                graph, mesh, axis=axis,
+                weights_by_etype=collect(weight_attr),
+                times_by_etype=collect(time_attr))
+            self.sampler = HeteroDistNeighborSampler(
+                self.dist_graph, num_neighbors,
+                max_unique_per_hop=max_unique_per_hop)
+            # Per-node-type features; levels carry global (offset) ids
+            # so each gather localizes into its type's row range.
+            self.features = {
+                nt: fd for nt in graph_store.node_types
+                if (fd := dist_of(nt, x_attr)) is not None} or None
+            self.node_ranges = {
+                nt: (int(graph_store.node_offset(nt)),
+                     int(graph_store.num_nodes(nt)))
+                for nt in graph_store.node_types}
+            self.labels = None  # resolved against input_type below
+            self._y_attr = y_attr
+        else:
+            indptr, indices = graph.homogeneous_csr()
+            et = graph.etypes[0]
+            weights = times = None
+            if weight_attr is not None:
+                w = feature_store.get_tensor("", weight_attr)
+                weights = np.asarray(_edge_attr_to_csr_order(
+                    graph_store, graph, et, w))
+            if time_attr is not None:
+                t = feature_store.get_tensor("", time_attr)
+                times = np.asarray(_edge_attr_to_csr_order(
+                    graph_store, graph, et, t))
+            self.dist_graph = DistGraph.from_global_csr(
+                np.asarray(indptr), np.asarray(indices), mesh, axis=axis,
+                weights=weights, times=times)
+            self.sampler = DistNeighborSampler(
+                self.dist_graph, num_neighbors, dedup=dedup,
+                max_unique_per_hop=max_unique_per_hop)
+            self.features = dist_of("", x_attr)
+            self.labels = dist_of("", y_attr)
 
         if input_nodes is None:
             input_nodes = np.arange(graph_store.num_nodes())
         if isinstance(input_nodes, tuple):
-            raise NotImplementedError("typed input_nodes need the hetero path")
+            if not self.hetero:
+                raise ValueError("typed input_nodes on a homogeneous graph")
+            self.input_type, input_nodes = input_nodes
+            input_nodes = (np.asarray(input_nodes)
+                           + graph_store.node_offset(self.input_type))
+        if self.hetero:
+            # Labels live under the seed node type (type-local rows) or
+            # under "" (global rows); remember which for the de-offset.
+            if (self.input_type is not None
+                    and (self.input_type, self._y_attr) in feature_store):
+                self.labels = dist_of(self.input_type, self._y_attr)
+                self._label_offset = int(
+                    graph_store.node_offset(self.input_type))
+            else:
+                self.labels = dist_of("", self._y_attr)
+                self._label_offset = 0
         self.input_nodes = np.asarray(input_nodes).astype(np.int64)
         self.input_time = None if input_time is None else np.asarray(input_time)
         # fixed global batch, padded to a mesh-axis multiple
@@ -131,7 +204,67 @@ class DistNeighborLoader:
 
     # -- one jitted distributed step ----------------------------------------
 
+    def _build_step_hetero(self):
+        g = self.dist_graph  # HeteroDistGraph
+        axis = self.axis
+        sampler = self.sampler
+        sample_fn = sampler.sample_shard_fn(self.local_batch)
+        feats = self.features  # {node_type: DistArray} or None
+        labels = self.labels
+        n_lvl = sampler.num_hops + 1
+        ranges = self.node_ranges
+        label_off = self._label_offset
+
+        def body(graphs_data, feat_data, label_data, key, seeds,
+                 node_times):
+            batch = sample_fn(graphs_data, key, seeds, node_times)
+            inp = batch.levels[-1]
+            x = None
+            if feat_data is not None:
+                x = {}
+                for nt, table in feat_data.items():
+                    off, n = ranges[nt]
+                    local = inp - np.int32(off)
+                    ok = (inp >= 0) & (local >= 0) & (local < n)
+                    x[nt] = _dist_gather_shard(
+                        table, jnp.where(ok, local, -1),
+                        book=feats[nt].book, axis=axis, fill=0)
+            y = None
+            if label_data is not None:
+                s = batch.levels[0]
+                sl = jnp.where(s >= 0, s - np.int32(label_off), -1)
+                y = _dist_gather_shard(label_data, sl, book=labels.book,
+                                       axis=axis, fill=-1)[:, 0]
+            return batch, x, y
+
+        from cugraph_gnn_tpu.sampler.hetero import HeteroMultihopBatch
+        opt = lambda v: P() if v is None else P(axis)
+        data_specs = {
+            e: (P(axis), P(axis), P(), opt(dg.weights), opt(dg.times))
+            for e, dg in g.graphs.items()}
+        hop_specs = [
+            {e: HopBlock(P(axis), P(axis), P(axis))
+             for e in sampler.enames
+             if sampler.fanouts[e] is not None and sampler.fanouts[e][h] > 0}
+            for h in range(sampler.num_hops)]
+        batch_specs = HeteroMultihopBatch(
+            levels=[P(axis)] * n_lvl, level_counts=[P()] * n_lvl,
+            hops=hop_specs, seed_count=P())
+        x_specs = (P() if feats is None
+                   else {nt: P(axis) for nt in feats})
+        shard = jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(data_specs,
+                      P() if feats is None
+                      else {nt: P(axis) for nt in feats},
+                      opt(labels), P(), P(axis), opt(self.input_time)),
+            out_specs=(batch_specs, x_specs,
+                       P() if labels is None else P(axis)))
+        return jax.jit(shard)
+
     def _build_step(self):
+        if self.hetero:
+            return self._build_step_hetero()
         g = self.dist_graph
         axis = self.axis
         sample_fn = self.sampler.sample_shard_fn(self.local_batch)
@@ -172,8 +305,20 @@ class DistNeighborLoader:
 
     def step(self, key, seeds, node_times=None):
         """One distributed sample+gather step on already-sharded seeds.
-        Returns (MultihopBatch, x, y) of mesh-sharded arrays."""
+        Returns (MultihopBatch | HeteroMultihopBatch, x, y) of
+        mesh-sharded arrays (x is a per-node-type dict when hetero)."""
         g = self.dist_graph
+        if self.hetero:
+            graphs_data = {
+                e: (dg.indptr, dg.indices, dg.edge_base, dg.weights,
+                    dg.times)
+                for e, dg in g.graphs.items()}
+            feat_data = (None if self.features is None else
+                         {nt: fa.data for nt, fa in self.features.items()})
+            return self._step(
+                graphs_data, feat_data,
+                None if self.labels is None else self.labels.data,
+                key, seeds, node_times)
         return self._step(
             g.indptr, g.indices, g.edge_base, g.weights, g.times,
             None if self.features is None else self.features.data,
