@@ -35,9 +35,9 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         _tried = True
         try:
-            if not os.path.exists(_LIB_PATH):
-                subprocess.run(["make", "-C", _CPP_DIR], check=True,
-                               capture_output=True)
+            # make is a fast no-op when the .so is newer than the sources
+            subprocess.run(["make", "-C", _CPP_DIR], check=True,
+                           capture_output=True)
             lib = ctypes.CDLL(_LIB_PATH)
             lib.build_csr_i32.argtypes = [
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -48,6 +48,14 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
                 ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
             lib.load_filelist_range.restype = ctypes.c_int
+            lib.rcm_order_i32.argtypes = [
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int32)]
+            lib.apply_order_csr_i32.argtypes = [
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int64)]
             _lib = lib
         except Exception:
             _lib = None
@@ -128,3 +136,84 @@ def load_filelist_bytes(paths: Sequence[str], range_off: int,
             out[a - range_off: b - range_off] = np.frombuffer(chunk, np.uint8)
         file_start += int(sz)
     return out
+
+def rcm_order(indptr, indices) -> np.ndarray:
+    """Reverse Cuthill-McKee node order over a CSR graph: returns
+    ``order`` (int32) with ``order[new_id] = old_id``.  Native BFS;
+    NumPy fallback mirrors it (min-degree seeds, ascending-degree
+    frontier visit, reversed)."""
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    n = len(indptr) - 1
+    lib = _load()
+    if lib is not None and n > 0:
+        out = np.zeros(n, np.int32)
+        lib.rcm_order_i32(_i64ptr(indptr), _i32ptr(indices), n, _i32ptr(out))
+        return out
+    deg = (indptr[1:] - indptr[:-1]).astype(np.int64)
+    by_deg = np.argsort(deg, kind="stable")
+    visited = np.zeros(n, bool)
+    order = []
+    cursor = 0
+    while len(order) < n:
+        while visited[by_deg[cursor]]:
+            cursor += 1
+        seed = int(by_deg[cursor])
+        visited[seed] = True
+        order.append(seed)
+        head = len(order) - 1
+        while head < len(order):
+            u = order[head]
+            head += 1
+            nb = indices[indptr[u]:indptr[u + 1]]
+            nb = nb[(nb >= 0) & (nb < n)]
+            nb = np.unique(nb[~visited[nb]])
+            nb = nb[np.argsort(deg[nb], kind="stable")]
+            visited[nb] = True
+            order.extend(int(v) for v in nb)
+    return np.asarray(order[::-1], np.int32)
+
+
+def apply_order_csr(indptr, indices, order):
+    """Relabel a CSR by a node order (new node i = order[i]); neighbor
+    ids map through the inverse permutation and sort within rows.
+    Returns (new_indptr int64, new_indices int32, edge_perm int64) where
+    edge_perm maps new edge position -> old edge position (carry edge
+    attributes through with ``attr[edge_perm]``)."""
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    order = np.ascontiguousarray(order, np.int32)
+    n = len(indptr) - 1
+    e = len(indices)
+    lib = _load()
+    if lib is not None and n > 0:
+        new_indptr = np.zeros(n + 1, np.int64)
+        new_indices = np.zeros(e, np.int32)
+        edge_perm = np.zeros(e, np.int64)
+        lib.apply_order_csr_i32(
+            _i64ptr(indptr), _i32ptr(indices), _i32ptr(order), n,
+            _i64ptr(new_indptr), _i32ptr(new_indices), _i64ptr(edge_perm))
+        return new_indptr, new_indices, edge_perm
+    inv = np.zeros(n, np.int32)
+    inv[order] = np.arange(n, dtype=np.int32)
+    deg = indptr[1:] - indptr[:-1]
+    lens = deg[order]
+    new_indptr = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    # ragged gather of the permuted rows' edge ranges
+    if e:
+        starts = indptr[order]
+        offs = np.repeat(starts - new_indptr[:-1], lens)
+        old_pos = offs + np.arange(int(lens.sum()), dtype=np.int64)
+        vals = indices[old_pos]
+        mapped = np.where((vals >= 0) & (vals < n), inv[np.clip(vals, 0, n - 1)],
+                          vals)
+        # in-row sort: stable argsort on (row, value) keys
+        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+        key = rows * (np.int64(n) + 1) + np.clip(mapped, -1, n).astype(np.int64) + 1
+        sorter = np.argsort(key, kind="stable")
+        new_indices = mapped[sorter].astype(np.int32)
+        edge_perm = old_pos[sorter]
+    else:
+        new_indices = np.zeros(0, np.int32)
+        edge_perm = np.zeros(0, np.int64)
+    return new_indptr, new_indices, edge_perm

@@ -47,3 +47,67 @@ def test_native_csr_matches_numpy_on_empty():
     assert len(ix) == 0 and len(perm) == 0
     np.testing.assert_array_equal(degrees(np.zeros(0, np.int32), 4),
                                   np.zeros(4, np.int64))
+
+
+# -- reorder ------------------------------------------------------------------
+
+
+def test_rcm_reorder_roundtrip():
+    """RCM reorder: permutation validity, edge-set preservation under
+    relabeling, edge_perm carries attributes, bandwidth shrinks on a
+    band-structured graph."""
+    from cugraph_gnn_tpu.ops.reorder import bandwidth_stats, reorder_csr
+
+    rng = np.random.default_rng(3)
+    n = 400
+    # band graph scrambled by a random permutation: RCM should recover
+    # (most of) the banded structure.
+    scram = rng.permutation(n)
+    src, dst = [], []
+    for i in range(n):
+        for j in rng.integers(-4, 5, 6):
+            v = (i + int(j)) % n
+            src.append(scram[v])
+            dst.append(scram[i])
+    from cugraph_gnn_tpu.native import build_csr
+    indptr, indices, _ = build_csr(
+        np.asarray(dst, np.int32), np.asarray(src, np.int32), n)
+    weights = rng.standard_normal(len(indices)).astype(np.float32)
+
+    rg = reorder_csr(indptr, indices)
+    assert sorted(rg.order.tolist()) == list(range(n))
+    np.testing.assert_array_equal(rg.inv_order[rg.order], np.arange(n))
+    # edge set preserved under the relabeling
+    def edge_set(ip, ix, relabel=None):
+        out = set()
+        for v in range(n):
+            for e in range(int(ip[v]), int(ip[v + 1])):
+                a, b = v, int(ix[e])
+                if relabel is not None:
+                    a, b = int(relabel[a]), int(relabel[b])
+                out.add((a, b))
+        return out
+    assert edge_set(indptr, indices, rg.inv_order) == edge_set(
+        rg.indptr, rg.indices)
+    # edge_perm: relabeled old neighbor at edge_perm[e] == new indices[e]
+    np.testing.assert_array_equal(
+        rg.inv_order[indices[rg.edge_perm]], rg.indices)
+    w_new = weights[rg.edge_perm]
+    assert w_new.shape == weights.shape
+    # bandwidth: scrambled band ~ uniform(n/3-ish); RCM makes it narrow
+    before = bandwidth_stats(indptr, indices)["p95"]
+    after = bandwidth_stats(rg.indptr, rg.indices)["p95"]
+    assert after < before / 4, (before, after)
+
+
+def test_rcm_numpy_fallback_matches_shape():
+    """The NumPy fallback produces a valid permutation too (exercised
+    via method='none' + explicit small RCM check)."""
+    from cugraph_gnn_tpu.ops.reorder import reorder_csr
+
+    indptr = np.asarray([0, 2, 4, 6], np.int64)
+    indices = np.asarray([1, 2, 0, 2, 0, 1], np.int32)
+    rg = reorder_csr(indptr, indices, method="none")
+    np.testing.assert_array_equal(rg.order, [0, 1, 2])
+    np.testing.assert_array_equal(rg.indptr, indptr)
+    np.testing.assert_array_equal(rg.indices, indices)
