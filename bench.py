@@ -113,14 +113,15 @@ def main():
     opt_state = tx.init(params)
     log(f"model init in {time.perf_counter()-t:.1f}s")
 
-    @jax.jit
-    def train_step(params, opt_state, edge_total, key, seeds, indptr,
-                   indices, feats, labels):
+    def train_step(carry, key):
         # dedup=False: static renumbering layout, no sorts in the hot
         # path (model output distribution identical; see
         # tests/test_dedup_modes.py).  indices2d routes neighbor-id
         # reads through the line-window gather (9x over scalar gather).
-        sample = multihop_uniform(key, indptr, indices, seeds, FANOUTS,
+        params, opt_state, edge_total, indptr, indices, feats, labels = carry
+        sk, pk = jax.random.split(key)
+        seeds = jax.random.randint(pk, (BATCH,), 0, NUM_NODES, jnp.int32)
+        sample = multihop_uniform(sk, indptr, indices, seeds, FANOUTS,
                                   dedup=False,
                                   indices2d=indices.reshape(-1, 128),
                                   max_degree=max_degree)
@@ -139,45 +140,60 @@ def main():
         updates, opt_state = tx.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
         edges = sum(jnp.sum(h.mask) for h in sample.hops)
-        return params, opt_state, edge_total + edges.astype(jnp.int32), loss
+        return (params, opt_state, edge_total + edges.astype(jnp.int32),
+                indptr, indices, feats, labels), loss
+
+    # REPS training steps per dispatch (lax.scan over steps — standard
+    # TPU practice; per-dispatch latency through the axon tunnel is
+    # ~0.25-0.4 ms, which would otherwise be billed to every step).
+    REPS = 10
+
+    @jax.jit
+    def train_block(params, opt_state, edge_total, key, indptr, indices,
+                    feats, labels):
+        carry = (params, opt_state, edge_total, indptr, indices, feats,
+                 labels)
+        carry, losses = jax.lax.scan(
+            train_step, carry, jax.random.split(key, REPS))
+        params, opt_state, edge_total = carry[:3]
+        return params, opt_state, edge_total, losses[-1]
 
     key = jax.random.PRNGKey(2)
     edge_total = jnp.zeros((), jnp.int32)
     for i in range(WARMUP):
-        key, sk, pk = jax.random.split(key, 3)
-        seeds = jax.random.randint(pk, (BATCH,), 0, NUM_NODES, jnp.int32)
-        params, opt_state, edge_total, loss = train_step(
-            params, opt_state, edge_total, sk, seeds, indptr_j, indices_j,
+        key, sk = jax.random.split(key)
+        params, opt_state, edge_total, loss = train_block(
+            params, opt_state, edge_total, sk, indptr_j, indices_j,
             feats, labels)
     jax.block_until_ready(params)
     log("warmup done")
 
     # Timing: `block_until_ready` does NOT reliably wait through the
     # axon tunnel, and a scalar readback has a large fixed cost.
-    # Measure by iteration-count differencing: run loops of 2 and
-    # ITERS+2, each ended by a *dependent* readback (the edge-count
-    # accumulator threads through every step), and subtract.
-    def run(n, params, opt_state):
+    # Measure by iteration-count differencing: run loops of 1 and
+    # NB+1 scan-blocks, each ended by a *dependent* readback (the
+    # edge-count accumulator threads through every step), and subtract.
+    def run(nblocks, params, opt_state):
         nonlocal key
         edge_total = jnp.zeros((), jnp.int32)
-        for i in range(n):
-            key, sk, pk = jax.random.split(key, 3)
-            seeds = jax.random.randint(pk, (BATCH,), 0, NUM_NODES, jnp.int32)
-            params, opt_state, edge_total, loss = train_step(
-                params, opt_state, edge_total, sk, seeds, indptr_j,
-                indices_j, feats, labels)
+        for i in range(nblocks):
+            key, sk = jax.random.split(key)
+            params, opt_state, edge_total, loss = train_block(
+                params, opt_state, edge_total, sk, indptr_j, indices_j,
+                feats, labels)
         return int(edge_total), params, opt_state
 
-    _, params, opt_state = run(2, params, opt_state)  # warm
+    NB = ITERS // REPS
+    _, params, opt_state = run(1, params, opt_state)  # warm
     t0 = time.perf_counter()
-    _, params, opt_state = run(2, params, opt_state)
+    _, params, opt_state = run(1, params, opt_state)
     t_small = time.perf_counter() - t0
     t0 = time.perf_counter()
-    total_edges, params, opt_state = run(ITERS + 2, params, opt_state)
+    total_edges, params, opt_state = run(NB + 1, params, opt_state)
     t_big = time.perf_counter() - t0
     dt = max(t_big - t_small, 1e-9)
-    total_edges = total_edges * ITERS // (ITERS + 2)
-    log(f"timed: {t_big:.2f}s[{ITERS+2}] - {t_small:.2f}s[2] -> "
+    total_edges = total_edges * NB // (NB + 1)
+    log(f"timed: {t_big:.2f}s[{(NB+1)*REPS}] - {t_small:.2f}s[{REPS}] -> "
         f"{1e3*dt/ITERS:.2f} ms/iter")
 
     edges_per_s = total_edges / dt
