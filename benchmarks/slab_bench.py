@@ -1,0 +1,97 @@
+"""Slab SpMM TPU bench at products scale: banded graph (the RCM-ordered
+real-graph case), vs the ELL composite and the segment path.
+
+    timeout 580 python -m benchmarks.slab_bench
+"""
+
+import time
+
+import numpy as np
+
+N = 2_449_408          # ~products nodes, multiple of 256
+F = 128
+DEG = 12               # per-direction mean degree at products scale
+K = 16                 # ELL width (deg <= K, all in-band)
+R = 256
+
+REPS = 5
+OUTER = 4
+
+
+def log(msg):
+    print(f"[slab] {msg}", flush=True)
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from cugraph_gnn_tpu.ops.pallas.slab_kernel import SlabGraph, slab_spmm
+
+    nb = N // R
+
+    @jax.jit
+    def make_data():
+        # banded ELL: each row has DEG in-band neighbors (slab-local ids
+        # in [0, 3R)), rest -1 padding.
+        key = jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(key)
+        ell = jax.random.randint(k1, (N, K), 0, 3 * R, jnp.int32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (N, K), 1)
+        ell = jnp.where(lane < DEG, ell, -1)
+        x = jax.random.normal(k2, (N, F), jnp.float32)
+        deg = jnp.full((N,), DEG, jnp.int32)
+        return ell, x, deg
+
+    ell, x, deg = jax.block_until_ready(make_data())
+    g = SlabGraph(ell=ell, ell_w=None,
+                  fb_src=jnp.zeros((0,), jnp.int32),
+                  fb_dst=jnp.zeros((0,), jnp.int32), fb_w=None,
+                  degrees=deg, num_rows=N, block_rows=R, n_blocks=nb)
+    edges = N * DEG
+    log(f"data ready: {edges/1e6:.1f}M in-band edges")
+
+    def timed(name, fn, arrays):
+        @jax.jit
+        def many(acc, *arrs):
+            def body(c, i):
+                o = fn(*arrs)
+                return c + o[0, 0] + o[-1, -1] + i * 0.0, None
+            acc, _ = jax.lax.scan(body, acc,
+                                  jnp.arange(REPS, dtype=jnp.int32))
+            return acc
+
+        acc = jnp.zeros((), jnp.float32)
+        float(many(acc, *arrays))
+        t0 = time.perf_counter(); float(many(acc, *arrays))
+        t_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        a = acc
+        for _ in range(OUTER):
+            a = many(a, *arrays)
+        float(a)
+        dt = max(time.perf_counter() - t0 - t_s * 0, 1e-9) / (OUTER * REPS)
+        eff = edges * F * 4 / dt / 1e9
+        log(f"{name}: {dt*1e3:.1f} ms -> {eff:.0f} GB/s effective")
+
+    def run_slab_bf16(g_ell, g_x):
+        gg = g._replace(ell=g_ell)
+        return slab_spmm(gg, g_x, reduce="sum", compute_dtype=jnp.bfloat16,
+                         interpret=False)
+
+    def run_slab_f32(g_ell, g_x):
+        gg = g._replace(ell=g_ell)
+        return slab_spmm(gg, g_x, reduce="sum", compute_dtype=jnp.float32,
+                         interpret=False)
+
+    timed("slab MXU bf16", run_slab_bf16, (ell, x))
+    timed("slab MXU f32 ", run_slab_f32, (ell, x))
+
+    # ELL-composite reference: 62 GB/s effective (PERF_NOTES.md);
+    # the per-row gather formulation is row-rate bound at ~116 GB/s.
+
+
+if __name__ == "__main__":
+    main()

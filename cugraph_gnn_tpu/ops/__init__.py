@@ -6,6 +6,12 @@ from cugraph_gnn_tpu.ops.csr import (
     edge_mask_valid,
 )
 from cugraph_gnn_tpu.ops.gather import local_gather, local_scatter, local_scatter_add
+from cugraph_gnn_tpu.ops.pallas.slab_kernel import (
+    SlabGraph,
+    build_slab_graph,
+    slab_spmm,
+)
+from cugraph_gnn_tpu.ops.reorder import ReorderedGraph, bandwidth_stats, reorder_csr
 from cugraph_gnn_tpu.ops.sample import (
     SampleOutput,
     masked_uniform_sample,
@@ -29,6 +35,12 @@ from cugraph_gnn_tpu.ops.unique import AppendUniqueOutput, append_unique
 
 __all__ = [
     "CSR",
+    "ReorderedGraph",
+    "SlabGraph",
+    "bandwidth_stats",
+    "build_slab_graph",
+    "reorder_csr",
+    "slab_spmm",
     "EllBuckets",
     "ell_spmm",
     "SampleOutput",

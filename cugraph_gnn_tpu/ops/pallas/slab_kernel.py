@@ -1,0 +1,193 @@
+"""Slab SpMM: banded-graph aggregation at MXU speed.
+
+Why: on TPU, any SpMM formulation that fetches each edge's source row
+individually is bound by the gather row-rate wall (~227M rows/s x 512B
+= ~116 GB/s effective on v5e, measured in PERF_NOTES.md) — and on a
+random graph there is no reuse to exploit, so that wall is the ceiling.
+Real graphs are different: after RCM reordering (ops/reorder.py)
+neighbors get nearby ids, so a block of output rows reads from a small
+contiguous slab of input rows.  This kernel exploits that:
+
+1. rows are processed in blocks of R; block b's in-band neighbors lie
+   in the 3R-row slab [b*R - R, b*R + 2R) (bandwidth <= R after RCM);
+2. the slab arrives by **contiguous DMA** (no gather at all);
+3. the block's adjacency is built as a dense one-hot matrix A (R, 3R)
+   on the VPU from ELL indices (K compare-accumulate passes);
+4. aggregation is ONE MXU matmul: out_block = A @ x_slab.
+
+Out-of-band / overflow edges (power-law tails) fall back to the
+segment-sum path outside the kernel, so the result is exact for any
+graph; the kernel only accelerates the in-band fraction.
+
+The reference has no counterpart (GPU L2 absorbs locality; its SpMM is
+PyG's). This is the TPU-first replacement for that cache, per
+BASELINE.json's "SpMM at HBM speed-of-light" north star.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+
+class SlabGraph(NamedTuple):
+    """Host-preprocessed banded-ELL + fallback-COO split of a CSR graph.
+
+    ell:        (n_blocks * R, K) int32 slab-local neighbor ids in
+                [0, 3R), -1 padded.  Row i of block b is global row
+                b*R + i; slab-local id j means global column
+                b*R - R + j.
+    ell_w:      optional (n_blocks * R, K) f32 edge weights.
+    fb_src/fb_dst/fb_w: out-of-band + overflow edges as COO (global
+                ids, -1 padded to a lane multiple); fb_w None when the
+                graph is unweighted.
+    degrees:    (num_rows,) total degree (band + fallback) for 'mean'.
+    """
+
+    ell: jax.Array
+    ell_w: Optional[jax.Array]
+    fb_src: jax.Array
+    fb_dst: jax.Array
+    fb_w: Optional[jax.Array]
+    degrees: jax.Array
+    num_rows: int
+    block_rows: int
+    n_blocks: int
+
+    @property
+    def band_fraction(self) -> float:
+        """Fraction of edges served by the MXU slab path."""
+        e_fb = int(np.asarray(self.fb_src >= 0).sum())
+        e_all = int(np.asarray(self.degrees).sum())
+        return 1.0 - e_fb / max(e_all, 1)
+
+
+def build_slab_graph(indptr, indices, weights=None, *, block_rows: int = 256,
+                     max_k: int = 64) -> SlabGraph:
+    """Split a CSR into the banded ELL (|col - row| <= block_rows, up to
+    max_k per row) and fallback COO.  One-time host preprocessing, like
+    the reference's graph construction (ref data/graph_store.py:263-329).
+    Use after :func:`cugraph_gnn_tpu.ops.reorder.reorder_csr` — RCM is
+    what makes the band fraction high on real graphs."""
+    indptr = np.asarray(indptr, np.int64)
+    indices = np.asarray(indices, np.int32)
+    n = len(indptr) - 1
+    r_blk = int(block_rows)
+    n_blocks = max(-(-n // r_blk), 1)
+    n_pad = n_blocks * r_blk
+    deg = (indptr[1:] - indptr[:-1]).astype(np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    cols = indices.astype(np.int64)
+    valid = (cols >= 0) & (cols < n)
+    inband = valid & (np.abs(cols - rows) <= r_blk)
+    # rank of each in-band edge within its row (CSR edge order)
+    cs = np.cumsum(inband.astype(np.int64))
+    cs0 = np.concatenate([[0], cs])
+    rank = cs0[1:] - cs0[indptr[rows]]  # 1-based among in-band
+    keep = inband & (rank <= max_k)
+    k_eff = int(rank[keep].max()) if keep.any() else 1
+    k_eff = max(-(-k_eff // 8) * 8, 8)
+
+    ell = np.full((n_pad, k_eff), -1, np.int32)
+    blk = rows[keep] // r_blk
+    slab_local = (cols[keep] - blk * r_blk + r_blk).astype(np.int32)
+    ell[rows[keep], rank[keep] - 1] = slab_local
+    ell_w = None
+    if weights is not None:
+        weights = np.asarray(weights, np.float32)
+        ell_w = np.zeros((n_pad, k_eff), np.float32)
+        ell_w[rows[keep], rank[keep] - 1] = weights[keep]
+
+    fb = valid & ~keep
+    pad = (-int(fb.sum())) % 128
+    fb_src = np.concatenate([cols[fb].astype(np.int32),
+                             np.full(pad, -1, np.int32)])
+    fb_dst = np.concatenate([rows[fb].astype(np.int32),
+                             np.full(pad, -1, np.int32)])
+    fb_w = None
+    if weights is not None:
+        fb_w = np.concatenate([weights[fb], np.zeros(pad, np.float32)])
+    return SlabGraph(
+        ell=jnp.asarray(ell), ell_w=None if ell_w is None else jnp.asarray(ell_w),
+        fb_src=jnp.asarray(fb_src), fb_dst=jnp.asarray(fb_dst),
+        fb_w=None if fb_w is None else jnp.asarray(fb_w),
+        degrees=jnp.asarray(np.bincount(
+            rows[valid], minlength=n).astype(np.int32)),
+        num_rows=n, block_rows=r_blk, n_blocks=n_blocks)
+
+
+def _slab_kernel(k_width: int, weighted: bool, compute_dtype, *refs):
+    if weighted:
+        ell_ref, w_ref, x0, x1, x2, o_ref = refs
+    else:
+        ell_ref, x0, x1, x2, o_ref = refs
+        w_ref = None
+    idx = ell_ref[...]                              # (R, K)
+    r_blk = idx.shape[0]
+    slab = jnp.concatenate([x0[...], x1[...], x2[...]], axis=0)  # (3R, F)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (r_blk, 3 * r_blk), 1)
+    a = jnp.zeros((r_blk, 3 * r_blk), jnp.float32)
+    one = jnp.float32(1.0)
+    for k in range(k_width):
+        sel = iota == idx[:, k][:, None]
+        wk = w_ref[...][:, k][:, None] if weighted else one
+        a = a + jnp.where(sel, wk, 0.0)
+    out = jnp.dot(a.astype(compute_dtype), slab.astype(compute_dtype),
+                  preferred_element_type=jnp.float32)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+def slab_spmm(graph: SlabGraph, x, reduce: str = "sum", *,
+              compute_dtype=jnp.bfloat16, interpret: Optional[bool] = None):
+    """out[r] = reduce over CSR row r of w * x[cols] via the slab MXU
+    kernel + segment fallback.  reduce: 'sum' | 'mean'.  x: (N, F)."""
+    if reduce not in ("sum", "mean"):
+        raise ValueError(f"slab_spmm supports sum/mean, got {reduce!r}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, f = x.shape
+    r_blk = graph.block_rows
+    nb = graph.n_blocks
+    n_pad = nb * r_blk
+    # front R zeros + body + back pad + R zeros: slab of block b starts
+    # at padded row b*R (= global row b*R - R).
+    x_pad = jnp.zeros((n_pad + 2 * r_blk, f), x.dtype)
+    x_pad = jax.lax.dynamic_update_slice(x_pad, x, (r_blk, 0))
+
+    weighted = graph.ell_w is not None
+    kern = functools.partial(
+        _slab_kernel, graph.ell.shape[1], weighted, compute_dtype)
+    x_specs = [
+        pl.BlockSpec((r_blk, f), lambda b, o=o: (b + o, 0))
+        for o in range(3)
+    ]
+    in_specs = [pl.BlockSpec((r_blk, graph.ell.shape[1]), lambda b: (b, 0))]
+    args = [graph.ell]
+    if weighted:
+        in_specs.append(
+            pl.BlockSpec((r_blk, graph.ell.shape[1]), lambda b: (b, 0)))
+        args.append(graph.ell_w)
+    in_specs += x_specs
+    args += [x_pad, x_pad, x_pad]
+    out = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((r_blk, f), lambda b: (b, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, f), jnp.float32),
+        interpret=interpret,
+    )(*args)[:n]
+
+    if graph.fb_src.shape[0]:
+        from cugraph_gnn_tpu.ops.spmm import segment_spmm
+        fb = segment_spmm(x.astype(jnp.float32), graph.fb_src, graph.fb_dst,
+                          n, reduce="sum", edge_weight=graph.fb_w)
+        out = out + fb
+    if reduce == "mean":
+        out = out / jnp.maximum(graph.degrees[:n], 1)[:, None]
+    return out.astype(x.dtype)
