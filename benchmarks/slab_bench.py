@@ -92,6 +92,23 @@ def main():
     # ELL-composite reference: 62 GB/s effective (PERF_NOTES.md);
     # the per-row gather formulation is row-rate bound at ~116 GB/s.
 
+    from cugraph_gnn_tpu.ops.pallas.slab_kernel import slab_attention_spmm
+
+    @jax.jit
+    def make_alphas():
+        k = jax.random.PRNGKey(5)
+        return (jax.random.normal(k, (N,), jnp.float32),
+                jax.random.normal(jax.random.fold_in(k, 1), (N,),
+                                  jnp.float32))
+
+    a_d, a_s = jax.block_until_ready(make_alphas())
+
+    def run_attn(g_ell, g_x, ad, asx):
+        gg = g._replace(ell=g_ell)
+        return slab_attention_spmm(gg, g_x, ad, asx, interpret=False)
+
+    timed("slab attention", run_attn, (ell, x, a_d, a_s))
+
 
 if __name__ == "__main__":
     main()

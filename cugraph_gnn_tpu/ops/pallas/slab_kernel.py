@@ -191,3 +191,123 @@ def slab_spmm(graph: SlabGraph, x, reduce: str = "sum", *,
     if reduce == "mean":
         out = out / jnp.maximum(graph.degrees[:n], 1)[:, None]
     return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused attention (SDDMM + edge softmax + weighted SpMM) over the slab
+# ---------------------------------------------------------------------------
+
+
+def _slab_attn_kernel(k_width: int, negative_slope: float, compute_dtype,
+                      ell_ref, ad_ref, as0, as1, as2, x0, x1, x2,
+                      u_ref, m_ref, s_ref):
+    idx = ell_ref[...]                                   # (R, K)
+    r_blk = idx.shape[0]
+    slab = jnp.concatenate([x0[...], x1[...], x2[...]], axis=0)   # (3R, F)
+    a_s = jnp.concatenate([as0[...], as1[...], as2[...]], axis=0)  # (3R, 128)
+    ad = ad_ref[...]                                     # (R, 128) col0 = a
+    # adjacency mask + multiplicity from the ELL one-hot
+    iota = jax.lax.broadcasted_iota(jnp.int32, (r_blk, 3 * r_blk), 1)
+    cnt = jnp.zeros((r_blk, 3 * r_blk), jnp.float32)
+    for k in range(k_width):
+        cnt = cnt + jnp.where(iota == idx[:, k][:, None], 1.0, 0.0)
+    # e[r, c] = leakyrelu(ad[r] + as[c]); as needs to be a row vector —
+    # transpose the lane-replicated (3R, 128) column block.
+    as_row = jnp.transpose(a_s, (1, 0))[:1]              # (1, 3R)
+    e = ad[:, :1] + as_row                               # (R, 3R)
+    e = jnp.where(e >= 0, e, jnp.float32(negative_slope) * e)
+    ninf = jnp.float32(-jnp.inf)
+    e = jnp.where(cnt > 0, e, ninf)
+    m = jnp.max(e, axis=1, keepdims=True)                # (R, 1)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    p = jnp.where(cnt > 0, cnt * jnp.exp(e - m_safe), 0.0)
+    s = jnp.sum(p, axis=1, keepdims=True)
+    u = jnp.dot(p.astype(compute_dtype), slab.astype(compute_dtype),
+                preferred_element_type=jnp.float32)      # (R, F)
+    u_ref[...] = u
+    m_ref[...] = jnp.broadcast_to(m_safe, m_ref.shape)
+    s_ref[...] = jnp.broadcast_to(s, s_ref.shape)
+
+
+def slab_attention_spmm(graph: SlabGraph, x, alpha_dst, alpha_src, *,
+                        negative_slope: float = 0.2,
+                        compute_dtype=jnp.float32,
+                        interpret: Optional[bool] = None):
+    """Fused GAT-style attention aggregate over the banded slab:
+
+        e_rc   = leakyrelu(alpha_dst[r] + alpha_src[c])   (edges only)
+        out[r] = sum_c softmax_r(e_r:)_c * x[c]
+
+    PyG GATConv scoring (additive attention), softmax over ALL of row
+    r's edges — in-band scores/aggregates run on the MXU in one pass;
+    out-of-band/overflow edges go through the segment path and merge
+    into the same numerically-stable softmax (log-sum-exp merge), so
+    the result is exact for any graph.  x: (N, F); alpha_*: (N,).
+    Returns (N, F) f32.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, f = x.shape
+    r_blk = graph.block_rows
+    nb = graph.n_blocks
+    n_pad = nb * r_blk
+    x_pad = jnp.zeros((n_pad + 2 * r_blk, f), x.dtype)
+    x_pad = jax.lax.dynamic_update_slice(x_pad, x, (r_blk, 0))
+    ninf = jnp.float32(-jnp.inf)
+    as_pad = jnp.full((n_pad + 2 * r_blk, 128), ninf, jnp.float32)
+    as_pad = jax.lax.dynamic_update_slice(
+        as_pad, jnp.broadcast_to(
+            alpha_src.astype(jnp.float32)[:, None], (n, 128)), (r_blk, 0))
+    ad_pad = jnp.zeros((n_pad, 128), jnp.float32)
+    ad_pad = jax.lax.dynamic_update_slice(
+        ad_pad, jnp.broadcast_to(
+            alpha_dst.astype(jnp.float32)[:, None], (n, 128)), (0, 0))
+
+    k_w = graph.ell.shape[1]
+    kern = functools.partial(_slab_attn_kernel, k_w, negative_slope,
+                             compute_dtype)
+    ell_spec = pl.BlockSpec((r_blk, k_w), lambda b: (b, 0))
+    ad_spec = pl.BlockSpec((r_blk, 128), lambda b: (b, 0))
+    as_specs = [pl.BlockSpec((r_blk, 128), lambda b, o=o: (b + o, 0))
+                for o in range(3)]
+    x_specs = [pl.BlockSpec((r_blk, f), lambda b, o=o: (b + o, 0))
+               for o in range(3)]
+    u, m_b, s_b = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[ell_spec, ad_spec] + as_specs + x_specs,
+        out_specs=[pl.BlockSpec((r_blk, f), lambda b: (b, 0)),
+                   pl.BlockSpec((r_blk, 128), lambda b: (b, 0)),
+                   pl.BlockSpec((r_blk, 128), lambda b: (b, 0))],
+        out_shape=[jax.ShapeDtypeStruct((n_pad, f), jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad, 128), jnp.float32)],
+        interpret=interpret,
+    )(graph.ell, ad_pad, as_pad, as_pad, as_pad, x_pad, x_pad, x_pad)
+    u, m_b, s_b = u[:n], m_b[:n, 0], s_b[:n, 0]
+    # band rows with no in-band edge: m_b = 0, s_b = 0 (handled by merge)
+
+    src, dst = graph.fb_src, graph.fb_dst
+    if src.shape[0]:
+        valid = (src >= 0) & (dst >= 0)
+        sv = jnp.where(valid, src, 0)
+        dv = jnp.where(valid, dst, n)
+        e_fb = alpha_dst.astype(jnp.float32)[jnp.where(valid, dst, 0)] \
+            + alpha_src.astype(jnp.float32)[sv]
+        e_fb = jnp.where(e_fb >= 0, e_fb, jnp.float32(negative_slope) * e_fb)
+        e_fb = jnp.where(valid, e_fb, ninf)
+        m_f_seg = jax.ops.segment_max(e_fb, dv, num_segments=n + 1)[:n]
+        m_f = jnp.where(jnp.isfinite(m_f_seg), m_f_seg, 0.0)
+        p_fb = jnp.where(valid, jnp.exp(e_fb - m_f[jnp.where(valid, dst, 0)]),
+                         0.0)
+        s_f = jax.ops.segment_sum(p_fb, dv, num_segments=n + 1)[:n]
+        u_f = jax.ops.segment_sum(
+            p_fb[:, None] * x.astype(jnp.float32)[sv], dv,
+            num_segments=n + 1)[:n]
+        # log-sum-exp merge of (m_b, s_b, u) and (m_f, s_f, u_f)
+        m = jnp.maximum(m_b, m_f)
+        wb = jnp.where(s_b > 0, jnp.exp(m_b - m), 0.0)
+        wf = jnp.where(s_f > 0, jnp.exp(m_f - m), 0.0)
+        u = u * wb[:, None] + u_f * wf[:, None]
+        s_b = s_b * wb + s_f * wf
+    return u / jnp.maximum(s_b, 1e-16)[:, None]

@@ -94,3 +94,54 @@ def test_slab_after_rcm_reorder():
                        n, reduce="sum")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_slab_attention_matches_coo():
+    """Fused slab attention == COO sddmm + segment softmax + weighted
+    segment SpMM, including the out-of-band log-sum-exp merge."""
+    from cugraph_gnn_tpu.ops.pallas.slab_kernel import slab_attention_spmm
+    from cugraph_gnn_tpu.ops.sddmm import coo_edge_softmax
+
+    rng = np.random.default_rng(3)
+    n, f = 500, 128
+    src, dst = make_graph(n, 6, 90, rng, frac_far=0.25)
+    indptr, indices, _ = build_csr(dst, src, n)
+    g = build_slab_graph(indptr, indices, block_rows=128, max_k=8)
+    assert 0.0 < g.band_fraction < 1.0
+    x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+    a_d = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    a_s = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    out = slab_attention_spmm(g, x, a_d, a_s, negative_slope=0.2)
+
+    rows = np.repeat(np.arange(n), np.diff(indptr)).astype(np.int32)
+    e = np.asarray(a_d)[rows] + np.asarray(a_s)[indices]
+    e = np.where(e >= 0, e, 0.2 * e).astype(np.float32)
+    p = coo_edge_softmax(jnp.asarray(e), jnp.asarray(rows), n)
+    ref = segment_spmm(x, jnp.asarray(indices), jnp.asarray(rows), n,
+                       reduce="sum", edge_weight=p)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_slab_attention_band_only():
+    from cugraph_gnn_tpu.ops.pallas.slab_kernel import slab_attention_spmm
+    from cugraph_gnn_tpu.ops.sddmm import coo_edge_softmax
+
+    rng = np.random.default_rng(4)
+    n, f = 384, 64
+    src, dst = make_graph(n, 5, 50, rng)
+    indptr, indices, _ = build_csr(dst, src, n)
+    g = build_slab_graph(indptr, indices, block_rows=128)
+    assert g.band_fraction == 1.0
+    x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+    a_d = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    a_s = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    out = slab_attention_spmm(g, x, a_d, a_s)
+    rows = np.repeat(np.arange(n), np.diff(indptr)).astype(np.int32)
+    e = np.asarray(a_d)[rows] + np.asarray(a_s)[indices]
+    e = np.where(e >= 0, e, 0.2 * e).astype(np.float32)
+    p = coo_edge_softmax(jnp.asarray(e), jnp.asarray(rows), n)
+    ref = segment_spmm(x, jnp.asarray(indices), jnp.asarray(rows), n,
+                       reduce="sum", edge_weight=p)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
