@@ -50,6 +50,12 @@ class SAGEConv(nn.Module):
         agg = segment_spmm(x, src, dst, num_nodes, reduce=self.aggr)
         return self.lin_self(x[:num_nodes]) + self.lin_neigh(agg)
 
+    def full_graph(self, x, fbg):
+        """Full-batch via ops.FullBatchGraph (slab MXU path on locality
+        graphs); x in fbg's graph order."""
+        agg = fbg.spmm(x, reduce=self.aggr).astype(x.dtype)
+        return self.lin_self(x) + self.lin_neigh(agg)
+
 
 class GCNConv(nn.Module):
     """GCN convolution with symmetric normalization.
@@ -100,6 +106,19 @@ class GCNConv(nn.Module):
         agg = segment_spmm(x, src, dst, num_nodes, reduce="sum", edge_weight=w)
         if self.add_self_loops:
             agg = agg + x[:num_nodes] * (dinv * dinv)[:, None]
+        return self.lin(agg)
+
+    def full_graph(self, x, fbg):
+        """Full-batch with symmetric normalization factorized through
+        the unweighted aggregate: D^-1/2 A D^-1/2 x = dinv * A(dinv*x),
+        so the slab MXU path applies without baking edge weights."""
+        deg = fbg.degrees.astype(jnp.float32)
+        if self.add_self_loops:
+            deg = deg + 1
+        dinv = jax.lax.rsqrt(jnp.maximum(deg, 1))[:, None].astype(x.dtype)
+        agg = (fbg.spmm(x * dinv, reduce="sum").astype(x.dtype)) * dinv
+        if self.add_self_loops:
+            agg = agg + x * (dinv * dinv)
         return self.lin(agg)
 
 
@@ -178,6 +197,22 @@ class GATConv(nn.Module):
         agg = jnp.stack(aggs, axis=1)  # (N, H, F)
         return self._out(agg)
 
+    def full_graph(self, x, fbg):
+        """Full-batch attention via the fused slab kernel (SDDMM +
+        softmax + aggregate in one MXU pass per head)."""
+        h, f = self.heads, self.features
+        wx = self.lin(x).reshape(x.shape[0], h, f)
+        a_n = jnp.sum(wx * self.att_src[0][None], axis=-1)  # (N, H)
+        a_d = jnp.sum(wx * self.att_dst[0][None], axis=-1)
+        aggs = [
+            fbg.attention_spmm(
+                wx[:, head, :], a_d[:, head].astype(jnp.float32),
+                a_n[:, head].astype(jnp.float32),
+                negative_slope=self.negative_slope).astype(wx.dtype)
+            for head in range(h)
+        ]
+        return self._out(jnp.stack(aggs, axis=1))
+
 
 class GINConv(nn.Module):
     """Graph isomorphism network convolution (PyG GINConv semantics,
@@ -218,6 +253,11 @@ class GINConv(nn.Module):
         agg = segment_spmm(x, src, dst, num_nodes, reduce="sum")
         one = jnp.asarray(1.0, agg.dtype)
         return self._mlp((one + self.eps) * x[:num_nodes] + agg)
+
+    def full_graph(self, x, fbg):
+        agg = fbg.spmm(x, reduce="sum").astype(x.dtype)
+        one = jnp.asarray(1.0, agg.dtype)
+        return self._mlp((one + self.eps) * x + agg)
 
 
 class RGCNConv(nn.Module):

@@ -1,0 +1,151 @@
+"""FullBatchGraph: the product surface for full-batch message passing.
+
+Bundles the TPU-first full-batch pipeline into one object:
+
+    fbg = FullBatchGraph.from_csr(indptr, indices, reorder="auto")
+    x_g = fbg.to_graph_order(x)        # once, at load time
+    h   = fbg.spmm(x_g, reduce="mean")  # slab MXU path + exact fallback
+    out = fbg.to_input_order(h)         # once, at the output boundary
+
+Pipeline: optional RCM reorder (ops/reorder.py) -> banded slab split
+(ops/pallas/slab_kernel.py) -> MXU aggregation with segment fallback.
+On locality graphs this runs 5-9x past the gather row-rate wall
+(PERF_NOTES.md "slab path"); on random graphs the auto mode detects a
+low band fraction and keeps the degree-bucketed ELL composite.
+
+Train IN graph order: permuting node data costs two full-table gathers
+per call, so `to_graph_order` is meant to be applied once to features/
+labels at load time, with ids mapped through `inv_order` — the same
+contract as the reference's one-time graph construction
+(ref cugraph_pyg/data/graph_store.py:263-329).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cugraph_gnn_tpu.ops.pallas.slab_kernel import (
+    build_slab_graph,
+    slab_attention_spmm,
+    slab_spmm,
+)
+from cugraph_gnn_tpu.ops.reorder import reorder_csr
+from cugraph_gnn_tpu.ops.spmm import EllBuckets, ell_spmm, segment_spmm
+
+
+class FullBatchGraph:
+    """See module docstring.  reorder: 'rcm' | 'none' | 'auto' (RCM,
+    kept only if it raises the band fraction); min_band_fraction gates
+    the slab path (below it, the ELL composite wins)."""
+
+    def __init__(self, indptr, indices, weights=None, *,
+                 reorder: str = "auto", block_rows: int = 256,
+                 max_k: int = 64, min_band_fraction: float = 0.5):
+        indptr = np.asarray(indptr)
+        indices = np.asarray(indices)
+        n = len(indptr) - 1
+        self.num_nodes = n
+        if reorder not in ("rcm", "none", "auto"):
+            raise ValueError(f"unknown reorder {reorder!r}")
+        self._order = None
+        use_rcm = reorder in ("rcm", "auto")
+        if use_rcm:
+            rg = reorder_csr(indptr, indices)
+            w_r = None if weights is None else np.asarray(weights)[rg.edge_perm]
+            slab_r = build_slab_graph(rg.indptr, rg.indices, w_r,
+                                      block_rows=block_rows, max_k=max_k)
+        if reorder == "auto":
+            slab_i = build_slab_graph(indptr, indices, weights,
+                                      block_rows=block_rows, max_k=max_k)
+            if use_rcm and slab_r.band_fraction > slab_i.band_fraction:
+                self.slab, self._order = slab_r, rg
+                indptr, indices = rg.indptr, rg.indices
+                weights = w_r
+            else:
+                self.slab = slab_i
+        elif reorder == "rcm":
+            self.slab, self._order = slab_r, rg
+            indptr, indices = rg.indptr, rg.indices
+            weights = w_r
+        else:
+            self.slab = build_slab_graph(indptr, indices, weights,
+                                         block_rows=block_rows, max_k=max_k)
+        self.band_fraction = self.slab.band_fraction
+        self.use_slab = self.band_fraction >= min_band_fraction
+        self._indptr = indptr
+        self._indices = jnp.asarray(indices.astype(np.int32))
+        self._weights = None if weights is None else jnp.asarray(
+            np.asarray(weights, np.float32))
+        deg = (np.asarray(indptr)[1:] - np.asarray(indptr)[:-1])
+        self._rows = jnp.asarray(
+            np.repeat(np.arange(n, dtype=np.int32), deg))
+        self._ell: Optional[EllBuckets] = None
+        self.degrees = self.slab.degrees[:n]
+
+    # -- node-order mapping ---------------------------------------------
+
+    @property
+    def order(self):
+        """(N,) graph-order -> input-order map (None if not reordered)."""
+        return None if self._order is None else self._order.order
+
+    @property
+    def inv_order(self):
+        return None if self._order is None else self._order.inv_order
+
+    def to_graph_order(self, x):
+        return x if self._order is None else x[jnp.asarray(self._order.order)]
+
+    def to_input_order(self, x):
+        if self._order is None:
+            return x
+        return x[jnp.asarray(self._order.inv_order)]
+
+    def map_ids(self, ids):
+        """Input-order node ids -> graph-order ids (-1 passes through)."""
+        if self._order is None:
+            return ids
+        inv = jnp.asarray(self._order.inv_order)
+        return jnp.where(ids >= 0, inv[jnp.clip(ids, 0)], -1)
+
+    # -- aggregation ------------------------------------------------------
+
+    def spmm(self, x, reduce: str = "mean", *, compute_dtype=jnp.float32):
+        """out[r] = reduce over row r's neighbors of w * x[c]; x and out
+        in GRAPH order."""
+        if self.use_slab and reduce in ("sum", "mean"):
+            return slab_spmm(self.slab, x, reduce=reduce,
+                             compute_dtype=compute_dtype)
+        if self._ell is None:
+            self._ell = EllBuckets(self._indptr, np.asarray(self._indices))
+        if self._weights is None and reduce in ("sum", "mean", "max"):
+            return ell_spmm(self._ell, x, reduce=reduce)
+        return segment_spmm(x, self._indices, self._rows, self.num_nodes,
+                            reduce=reduce, edge_weight=self._weights,
+                            indices_are_sorted=True)
+
+    def attention_spmm(self, x, alpha_dst, alpha_src, *,
+                       negative_slope: float = 0.2):
+        """Fused GAT attention aggregate (see slab_attention_spmm); falls
+        back to the COO sddmm+softmax+spmm chain off the slab path."""
+        if self.use_slab:
+            return slab_attention_spmm(self.slab, x, alpha_dst, alpha_src,
+                                       negative_slope=negative_slope)
+        from cugraph_gnn_tpu.ops.sddmm import coo_edge_softmax
+        e = alpha_dst[self._rows] + alpha_src[jnp.clip(self._indices, 0)]
+        e = jnp.where(e >= 0, e, negative_slope * e)
+        p = coo_edge_softmax(e, self._rows, self.num_nodes)
+        return segment_spmm(x.astype(jnp.float32), self._indices, self._rows,
+                            self.num_nodes, reduce="sum", edge_weight=p)
+
+    @classmethod
+    def from_coo(cls, src, dst, num_nodes: int, weights=None, **kw):
+        from cugraph_gnn_tpu.native import build_csr
+        indptr, indices, perm = build_csr(
+            np.asarray(dst, np.int32), np.asarray(src, np.int32), num_nodes)
+        w = None if weights is None else np.asarray(weights)[perm]
+        return cls(indptr, indices, w, **kw)

@@ -1,0 +1,87 @@
+"""FullBatchGraph (ops/full_batch.py): the product full-batch pipeline
+(reorder -> slab split -> MXU aggregate) matches the conv COO paths."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cugraph_gnn_tpu.models import GATConv, GCNConv, GINConv, SAGEConv
+from cugraph_gnn_tpu.ops import FullBatchGraph
+
+
+def scrambled_band_graph(n, deg, band, rng):
+    scram = rng.permutation(n)
+    src, dst = [], []
+    for i in range(n):
+        for _ in range(deg):
+            j = int(np.clip(i + rng.integers(-band, band + 1), 0, n - 1))
+            src.append(scram[j])
+            dst.append(scram[i])
+    return np.asarray(src, np.int32), np.asarray(dst, np.int32)
+
+
+@pytest.fixture(scope="module")
+def graph():
+    rng = np.random.default_rng(0)
+    n, f = 600, 64
+    src, dst = scrambled_band_graph(n, 5, 60, rng)
+    fbg = FullBatchGraph.from_coo(src, dst, n, reorder="auto")
+    x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+    return fbg, x, src, dst, n
+
+
+def test_auto_reorder_recovers_band(graph):
+    fbg, *_ = graph
+    assert fbg.order is not None          # auto picked RCM
+    assert fbg.band_fraction > 0.9
+    assert fbg.use_slab
+
+
+def test_order_roundtrip_and_id_map(graph):
+    fbg, x, _, _, n = graph
+    xg = fbg.to_graph_order(x)
+    np.testing.assert_array_equal(np.asarray(fbg.to_input_order(xg)),
+                                  np.asarray(x))
+    ids = jnp.asarray([0, 5, -1, n - 1], jnp.int32)
+    m = np.asarray(fbg.map_ids(ids))
+    assert m[2] == -1
+    np.testing.assert_array_equal(np.asarray(fbg.order)[m[[0, 1, 3]]],
+                                  [0, 5, n - 1])
+
+
+@pytest.mark.parametrize("conv_cls,kw", [
+    (SAGEConv, {}),
+    (GCNConv, {}),
+    (GINConv, {}),
+    (GATConv, {"heads": 2}),
+])
+def test_full_graph_matches_full(graph, conv_cls, kw):
+    fbg, x, src, dst, n = graph
+    conv = conv_cls(32, **kw)
+    params = conv.init(jax.random.PRNGKey(0), x[:4], x[:4, None, :],
+                       jnp.ones((4, 1), bool))
+    ref = conv.apply(params, x, jnp.asarray(src), jnp.asarray(dst), n,
+                     method=conv_cls.full)
+    xg = fbg.to_graph_order(x)
+    out_g = conv.apply(params, xg, fbg, method=conv_cls.full_graph)
+    out = fbg.to_input_order(out_g)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_random_graph_keeps_composite():
+    rng = np.random.default_rng(1)
+    n = 6000
+    src = rng.integers(0, n, 30000).astype(np.int32)
+    dst = rng.integers(0, n, 30000).astype(np.int32)
+    fbg = FullBatchGraph.from_coo(src, dst, n, reorder="auto")
+    assert not fbg.use_slab            # no locality to recover
+    x = jnp.asarray(rng.standard_normal((n, 32)).astype(np.float32))
+    out = fbg.spmm(fbg.to_graph_order(x), reduce="mean")
+    from cugraph_gnn_tpu.ops.spmm import segment_spmm
+    ref = segment_spmm(x, jnp.asarray(src), jnp.asarray(dst), n,
+                       reduce="mean")
+    np.testing.assert_allclose(
+        np.asarray(fbg.to_input_order(out)), np.asarray(ref),
+        rtol=1e-4, atol=1e-4)
