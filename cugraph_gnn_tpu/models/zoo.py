@@ -85,6 +85,18 @@ class MultihopModel(nn.Module):
                     h = nn.Dropout(self.dropout, deterministic=not train)(h)
         return h
 
+    def full_graph(self, x, fbg, *, train: bool = False):
+        """Full-batch forward via ops.FullBatchGraph (slab MXU
+        aggregation on locality graphs); x in fbg's graph order."""
+        h = x
+        for i, conv in enumerate(self.convs):
+            h = conv.full_graph(h, fbg)
+            if i != len(self.convs) - 1:
+                h = nn.relu(h)
+                if self.dropout > 0:
+                    h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        return h
+
 
 class GraphSAGE(MultihopModel):
     aggr: str = "mean"

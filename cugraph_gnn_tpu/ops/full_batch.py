@@ -85,6 +85,24 @@ class FullBatchGraph:
             np.repeat(np.arange(n, dtype=np.int32), deg))
         self._ell: Optional[EllBuckets] = None
         self.degrees = self.slab.degrees[:n]
+        # Transposed slab for autodiff: d/dx (A @ x) = A^T @ g, and the
+        # transpose of a banded graph is banded with the same bandwidth,
+        # so the backward pass rides the same MXU kernel.
+        indptr_np = np.asarray(indptr)
+        deg_np = indptr_np[1:] - indptr_np[:-1]
+        rows_np = np.repeat(np.arange(n, dtype=np.int32),
+                            deg_np.astype(np.int64))
+        cols_np = np.asarray(indices, np.int32)
+        ok = (cols_np >= 0) & (cols_np < n)
+        from cugraph_gnn_tpu.native import build_csr
+        t_indptr, t_indices, t_perm = build_csr(
+            cols_np[ok], rows_np[ok], n)
+        t_w = None
+        if weights is not None:
+            t_w = np.asarray(weights, np.float32)[ok][t_perm]
+        self._slab_t = build_slab_graph(t_indptr, t_indices, t_w,
+                                        block_rows=block_rows, max_k=max_k)
+        self._diff_spmm = {}
 
     # -- node-order mapping ---------------------------------------------
 
@@ -114,12 +132,40 @@ class FullBatchGraph:
 
     # -- aggregation ------------------------------------------------------
 
+    def _diff_slab_spmm(self, reduce: str, compute_dtype):
+        """custom_vjp wrapper: forward = slab kernel over the graph,
+        backward = slab kernel over the transposed graph (both include
+        their fallback edges, so gradients are exact for any graph)."""
+        key = (reduce, compute_dtype)
+        if key not in self._diff_spmm:
+            slab, slab_t = self.slab, self._slab_t
+            deg = jnp.maximum(self.degrees, 1)
+
+            @jax.custom_vjp
+            def f(x):
+                return slab_spmm(slab, x, reduce=reduce,
+                                 compute_dtype=compute_dtype)
+
+            def fwd(x):
+                # zero-size residual carries the primal dtype
+                return f(x), jnp.zeros((0,), x.dtype)
+
+            def bwd(res, g):
+                if reduce == "mean":
+                    g = g / deg[:, None].astype(g.dtype)
+                gx = slab_spmm(slab_t, g, reduce="sum",
+                               compute_dtype=compute_dtype)
+                return (gx.astype(res.dtype),)
+
+            f.defvjp(fwd, bwd)
+            self._diff_spmm[key] = f
+        return self._diff_spmm[key]
+
     def spmm(self, x, reduce: str = "mean", *, compute_dtype=jnp.float32):
         """out[r] = reduce over row r's neighbors of w * x[c]; x and out
         in GRAPH order."""
         if self.use_slab and reduce in ("sum", "mean"):
-            return slab_spmm(self.slab, x, reduce=reduce,
-                             compute_dtype=compute_dtype)
+            return self._diff_slab_spmm(reduce, compute_dtype)(x)
         if self._ell is None:
             self._ell = EllBuckets(self._indptr, np.asarray(self._indices))
         if self._weights is None and reduce in ("sum", "mean", "max"):

@@ -83,3 +83,7 @@ def test_ogbn_train_example(tmp_path):
     run_example("ogbn_train.py",
                 ["--dir", str(tmp_path), "--epochs", "2",
                  "--batch-size", "32", "--neighbors", "4,4"])
+
+
+def test_full_batch_training_example():
+    run_example("full_batch_training.py", [])

@@ -85,3 +85,28 @@ def test_random_graph_keeps_composite():
     np.testing.assert_allclose(
         np.asarray(fbg.to_input_order(out)), np.asarray(ref),
         rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_gradient_matches_segment(graph):
+    """custom_vjp through the slab kernel: grads == the differentiable
+    segment path's grads (transpose-graph backward, incl. fallback)."""
+    from cugraph_gnn_tpu.ops.spmm import segment_spmm
+
+    fbg, x, src, dst, n = graph
+    xg = fbg.to_graph_order(x)
+    tgt = jax.random.normal(jax.random.PRNGKey(1), xg.shape)
+
+    def loss_slab(z):
+        return jnp.sum((fbg.spmm(z, reduce="mean") - tgt) ** 2)
+
+    # same graph in graph order, via the segment path
+    sg = fbg.map_ids(jnp.asarray(src))
+    dg = fbg.map_ids(jnp.asarray(dst))
+
+    def loss_seg(z):
+        return jnp.sum((segment_spmm(z, sg, dg, n, reduce="mean") - tgt) ** 2)
+
+    g_slab = jax.grad(loss_slab)(xg)
+    g_seg = jax.grad(loss_seg)(xg)
+    np.testing.assert_allclose(np.asarray(g_slab), np.asarray(g_seg),
+                               rtol=3e-4, atol=3e-4)
