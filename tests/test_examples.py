@@ -87,3 +87,7 @@ def test_ogbn_train_example(tmp_path):
 
 def test_full_batch_training_example():
     run_example("full_batch_training.py", [])
+
+
+def test_hetero_dist_training_example():
+    run_example("hetero_dist_training.py", [], timeout=480)
