@@ -109,6 +109,34 @@ def main():
 
     timed("slab attention", run_attn, (ell, x, a_d, a_s))
 
+    # -- fused attention backward (dst + transpose-src kernels) ----------
+    from cugraph_gnn_tpu.ops.pallas.slab_attn_grad import (
+        AttnSlabPair, slab_attention_bwd)
+
+    @jax.jit
+    def make_bwd_data():
+        k = jax.random.PRNGKey(7)
+        ks = jax.random.split(k, 5)
+        t_ell = jax.random.randint(ks[0], (N, K), 0, 3 * R, jnp.int32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (N, K), 1)
+        t_ell = jnp.where(lane < DEG, t_ell, -1)
+        gout = jax.random.normal(ks[1], (N, F), jnp.float32)
+        m = jax.random.normal(ks[2], (N,), jnp.float32)
+        s = jax.random.uniform(ks[3], (N,), jnp.float32, 1.0, 8.0)
+        t = jax.random.normal(ks[4], (N,), jnp.float32)
+        return t_ell, gout, m, s, t
+
+    t_ell, gout, m_st, s_st, t_st = jax.block_until_ready(make_bwd_data())
+
+    def run_attn_bwd(g_ell, g_tell, g_x, ad, asx, gm, gs, gt, gg_out):
+        pair = AttnSlabPair(fwd=g._replace(ell=g_ell), t_ell=g_tell)
+        dx, dad, das = slab_attention_bwd(pair, g_x, ad, asx, gm, gs, gt,
+                                          gg_out, interpret=False)
+        return dx + dad[:, None] + das[:, None]
+
+    timed("slab attn bwd ", run_attn_bwd,
+          (ell, t_ell, x, a_d, a_s, m_st, s_st, t_st, gout))
+
 
 if __name__ == "__main__":
     main()

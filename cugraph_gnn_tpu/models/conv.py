@@ -199,10 +199,10 @@ class GATConv(nn.Module):
 
     def full_graph(self, x, fbg):
         """Full-batch attention via the fused slab kernel (SDDMM +
-        softmax + aggregate in one MXU pass per head).  Forward-only
-        for now (the fused kernel has no VJP yet) — full-batch GAT
-        training uses :meth:`full`; spmm-based convs train through
-        full_graph via the transpose-graph custom_vjp."""
+        softmax + aggregate in one MXU pass per head).  Trainable: the
+        kernel carries a custom VJP whose backward also rides the
+        banded MXU slabs (ops/pallas/slab_attn_grad.py), so full-batch
+        GAT trains end-to-end on the fused path."""
         h, f = self.heads, self.features
         wx = self.lin(x).reshape(x.shape[0], h, f)
         a_n = jnp.sum(wx * self.att_src[0][None], axis=-1)  # (N, H)

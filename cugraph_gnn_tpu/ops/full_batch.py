@@ -30,7 +30,6 @@ import numpy as np
 
 from cugraph_gnn_tpu.ops.pallas.slab_kernel import (
     build_slab_graph,
-    slab_attention_spmm,
     slab_spmm,
 )
 from cugraph_gnn_tpu.ops.reorder import reorder_csr
@@ -103,6 +102,10 @@ class FullBatchGraph:
         self._slab_t = build_slab_graph(t_indptr, t_indices, t_w,
                                         block_rows=block_rows, max_k=max_k)
         self._diff_spmm = {}
+        self._block_rows = block_rows
+        self._max_k = max_k
+        self._attn_pair = None
+        self._diff_attn = {}
 
     # -- node-order mapping ---------------------------------------------
 
@@ -161,6 +164,22 @@ class FullBatchGraph:
             self._diff_spmm[key] = f
         return self._diff_spmm[key]
 
+    def _diff_attention(self, negative_slope: float):
+        """Differentiable fused attention over the symmetric slab pair
+        (built lazily once; cached per negative_slope)."""
+        if negative_slope not in self._diff_attn:
+            if self._attn_pair is None:
+                from cugraph_gnn_tpu.ops.pallas.slab_attn_grad import (
+                    build_attention_slab_pair)
+                self._attn_pair = build_attention_slab_pair(
+                    np.asarray(self._indptr), np.asarray(self._indices),
+                    block_rows=self._block_rows, max_k=self._max_k)
+            from cugraph_gnn_tpu.ops.pallas.slab_attn_grad import (
+                differentiable_slab_attention)
+            self._diff_attn[negative_slope] = differentiable_slab_attention(
+                self._attn_pair, negative_slope=negative_slope)
+        return self._diff_attn[negative_slope]
+
     def spmm(self, x, reduce: str = "mean", *, compute_dtype=jnp.float32):
         """out[r] = reduce over row r's neighbors of w * x[c]; x and out
         in GRAPH order."""
@@ -176,11 +195,13 @@ class FullBatchGraph:
 
     def attention_spmm(self, x, alpha_dst, alpha_src, *,
                        negative_slope: float = 0.2):
-        """Fused GAT attention aggregate (see slab_attention_spmm); falls
-        back to the COO sddmm+softmax+spmm chain off the slab path."""
+        """Fused GAT attention aggregate (see slab_attention_spmm),
+        differentiable: both passes ride the banded MXU kernels via the
+        symmetric slab split (ops/pallas/slab_attn_grad.py).  Falls back
+        to the COO sddmm+softmax+spmm chain off the slab path."""
         if self.use_slab:
-            return slab_attention_spmm(self.slab, x, alpha_dst, alpha_src,
-                                       negative_slope=negative_slope)
+            return self._diff_attention(negative_slope)(
+                x, alpha_dst, alpha_src)
         from cugraph_gnn_tpu.ops.sddmm import coo_edge_softmax
         e = alpha_dst[self._rows] + alpha_src[jnp.clip(self._indices, 0)]
         e = jnp.where(e >= 0, e, negative_slope * e)

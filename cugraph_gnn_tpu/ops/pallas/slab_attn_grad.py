@@ -1,0 +1,312 @@
+"""Backward pass for the fused slab attention kernel.
+
+Forward (ops/pallas/slab_kernel.py::slab_attention_spmm) computes, per
+destination row r over its edges (r <- c):
+
+    z_rc   = alpha_dst[r] + alpha_src[c]
+    e_rc   = leakyrelu(z_rc)
+    out[r] = sum_c softmax_r(e_r:)_c * x[c]
+
+The backward pass needs three gradients.  With a = p/s the normalized
+attention (p = exp(e - m), s = row softmax denominator) and
+t[r] = g[r] . out[r]:
+
+    dx[c]         = sum_r a_rc * g[r]                       (transpose SpMM)
+    de_rc         = a_rc * (g[r].x[c] - t[r]) * lrelu'(z)   (softmax bwd)
+    dalpha_dst[r] = sum_c de_rc
+    dalpha_src[c] = sum_r de_rc
+
+Everything is a per-edge quantity reconstructible from PER-NODE scalars
+(alpha_dst, alpha_src, m, s, t) — so the backward rides the same banded
+slab structure as the forward, with g[r].x[c] as one extra MXU matmul
+per block (g_block @ slab_x^T).  Two kernels:
+
+  * dst-kernel over the forward band: row sums -> dalpha_dst;
+  * src-kernel over the TRANSPOSE band: dx = a^T @ g_slab and row sums
+    of de^T -> dalpha_src.
+
+For the two orientations to cover exactly the same edges, the band
+split must be symmetric: `build_attention_slab_pair` keeps an edge
+in-band only if it fits the per-row cap in BOTH orientations (hub
+columns spill to the segment fallback, which computes all three
+gradients exactly for the leftover edges).
+
+Reference analog: none — the reference's GAT backward is PyG/cuDNN
+autograd; this is the TPU-first equivalent of that fused attention
+backward (ref model math comes from PyG per SURVEY.md §2.2 "GNN model
+zoo").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from cugraph_gnn_tpu.ops.pallas.slab_kernel import SlabGraph
+
+# packed per-node stats lanes (one lane-replicated f32 array, 128 lanes):
+_AD, _M, _S, _T, _AS = 0, 1, 2, 3, 4
+
+
+class AttnSlabPair(NamedTuple):
+    """Symmetric banded split: `fwd` is a regular SlabGraph (consumable
+    by slab_attention_spmm); `t_ell` is the transpose-orientation ELL
+    over the SAME in-band edge set (row = source node, entries =
+    slab-local destination rows)."""
+
+    fwd: SlabGraph
+    t_ell: jax.Array
+
+
+def build_attention_slab_pair(indptr, indices, *, block_rows: int = 256,
+                              max_k: int = 64) -> AttnSlabPair:
+    """Split a CSR into a banded ELL that is valid in BOTH orientations
+    (|col-row| <= block_rows, per-row cap max_k forward AND backward)
+    plus a fallback COO.  One-time host preprocessing."""
+    indptr = np.asarray(indptr, np.int64)
+    indices = np.asarray(indices, np.int32)
+    n = len(indptr) - 1
+    r_blk = int(block_rows)
+    n_blocks = max(-(-n // r_blk), 1)
+    n_pad = n_blocks * r_blk
+    deg = (indptr[1:] - indptr[:-1]).astype(np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    cols = indices.astype(np.int64)
+    valid = (cols >= 0) & (cols < n)
+    inband = valid & (np.abs(cols - rows) <= r_blk)
+    # forward rank within row (CSR edge order), 1-based among in-band
+    cs0 = np.concatenate([[0], np.cumsum(inband.astype(np.int64))])
+    rank_f = cs0[1:] - cs0[indptr[rows]]
+    cand = inband & (rank_f <= max_k)
+    # transpose rank within column among candidates (stable CSR order)
+    pos = np.nonzero(cand)[0]
+    order = np.argsort(cols[pos], kind="stable")
+    pc = pos[order]
+    colc = cols[pc]
+    starts = np.concatenate([[0], np.nonzero(colc[1:] != colc[:-1])[0] + 1])
+    run_start = np.zeros(len(pc), np.int64)
+    run_start[starts] = starts
+    run_start = np.maximum.accumulate(run_start)
+    rank_t = np.arange(len(pc), dtype=np.int64) - run_start  # 0-based
+    keep = np.zeros(len(rows), bool)
+    kept_pc = pc[rank_t < max_k]
+    keep[kept_pc] = True
+
+    def _width(r):
+        return max(-(-max(int(r), 1) // 8) * 8, 8)
+
+    k_f = _width(rank_f[keep].max()) if keep.any() else 8
+    k_t = _width((rank_t[rank_t < max_k].max() + 1) if keep.any() else 1)
+
+    ell = np.full((n_pad, k_f), -1, np.int32)
+    blk = rows[keep] // r_blk
+    ell[rows[keep], rank_f[keep] - 1] = (
+        cols[keep] - blk * r_blk + r_blk).astype(np.int32)
+
+    t_ell = np.full((n_pad, k_t), -1, np.int32)
+    kt = rank_t[rank_t < max_k]
+    t_blk = cols[kept_pc] // r_blk
+    t_ell[cols[kept_pc], kt] = (
+        rows[kept_pc] - t_blk * r_blk + r_blk).astype(np.int32)
+
+    fb = valid & ~keep
+    pad = (-int(fb.sum())) % 128
+    fb_src = np.concatenate([cols[fb].astype(np.int32),
+                             np.full(pad, -1, np.int32)])
+    fb_dst = np.concatenate([rows[fb].astype(np.int32),
+                             np.full(pad, -1, np.int32)])
+    fwd = SlabGraph(
+        ell=jnp.asarray(ell), ell_w=None,
+        fb_src=jnp.asarray(fb_src), fb_dst=jnp.asarray(fb_dst), fb_w=None,
+        degrees=jnp.asarray(np.bincount(rows[valid], minlength=n)
+                            .astype(np.int32)),
+        num_rows=n, block_rows=r_blk, n_blocks=n_blocks)
+    return AttnSlabPair(fwd=fwd, t_ell=jnp.asarray(t_ell))
+
+
+def _onehot_expzm(idx, z, m_row_or_col, negative_slope, k_width):
+    """a[r, c] = multiplicity * exp(lrelu(z) - m) over ELL entries."""
+    r_blk = idx.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (r_blk, z.shape[1]), 1)
+    lr = jnp.where(z >= 0, z, jnp.float32(negative_slope) * z)
+    expzm = jnp.exp(lr - m_row_or_col)
+    p = jnp.zeros(z.shape, jnp.float32)
+    for k in range(k_width):
+        p = p + jnp.where(iota == idx[:, k][:, None], expzm, 0.0)
+    return p
+
+
+def _bwd_dst_kernel(k_width, negative_slope, ell_ref, st_blk, st0, st1, st2,
+                    g_ref, x0, x1, x2, dad_ref):
+    idx = ell_ref[...]
+    slab_x = jnp.concatenate([x0[...], x1[...], x2[...]], axis=0)   # (3R, F)
+    st_s = jnp.concatenate([st0[...], st1[...], st2[...]], axis=0)  # (3R,128)
+    st_t = jnp.transpose(st_s, (1, 0))                              # (128,3R)
+    as_row = st_t[_AS:_AS + 1]                                      # (1, 3R)
+    ad = st_blk[..., _AD:_AD + 1]                                   # (R, 1)
+    m = st_blk[..., _M:_M + 1]
+    s = st_blk[..., _S:_S + 1]
+    t = st_blk[..., _T:_T + 1]
+    z = ad + as_row                                                 # (R, 3R)
+    alpha = _onehot_expzm(idx, z, m, negative_slope, k_width) / s
+    gx = jax.lax.dot_general(
+        g_ref[...].astype(jnp.float32), slab_x.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                         # (R, 3R)
+    dz = jnp.where(z >= 0, 1.0, jnp.float32(negative_slope))
+    de = alpha * (gx - t) * dz
+    dad = jnp.sum(de, axis=1, keepdims=True)
+    dad_ref[...] = jnp.broadcast_to(dad, dad_ref.shape)
+
+
+def _bwd_src_kernel(k_width, negative_slope, ell_ref, st_blk, st0, st1, st2,
+                    x_ref, g0, g1, g2, dx_ref, das_ref):
+    idx = ell_ref[...]
+    slab_g = jnp.concatenate([g0[...], g1[...], g2[...]], axis=0)   # (3R, F)
+    st_s = jnp.concatenate([st0[...], st1[...], st2[...]], axis=0)
+    st_t = jnp.transpose(st_s, (1, 0))                              # (128,3R)
+    ad_row = st_t[_AD:_AD + 1]
+    m_row = st_t[_M:_M + 1]
+    s_row = st_t[_S:_S + 1]
+    t_row = st_t[_T:_T + 1]
+    as_col = st_blk[..., _AS:_AS + 1]                               # (R, 1)
+    z = as_col + ad_row                                             # (R, 3R)
+    alpha_t = _onehot_expzm(idx, z, m_row, negative_slope, k_width) / s_row
+    dx = jnp.dot(alpha_t, slab_g.astype(jnp.float32),
+                 preferred_element_type=jnp.float32)                # (R, F)
+    gx_t = jax.lax.dot_general(
+        x_ref[...].astype(jnp.float32), slab_g.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                         # (R, 3R)
+    dz = jnp.where(z >= 0, 1.0, jnp.float32(negative_slope))
+    de_t = alpha_t * (gx_t - t_row) * dz
+    das = jnp.sum(de_t, axis=1, keepdims=True)
+    dx_ref[...] = dx
+    das_ref[...] = jnp.broadcast_to(das, das_ref.shape)
+
+
+def _pad_rows(x, r_blk, n_pad, fill=0.0):
+    n, f = x.shape
+    out = jnp.full((n_pad + 2 * r_blk, f), jnp.asarray(fill, x.dtype))
+    return jax.lax.dynamic_update_slice(out, x, (r_blk, 0))
+
+
+def slab_attention_bwd(pair: AttnSlabPair, x, alpha_dst, alpha_src,
+                       m, s, t, g, *, negative_slope: float = 0.2,
+                       interpret=None):
+    """Gradients (dx, dalpha_dst, dalpha_src) of the fused attention
+    aggregate, given the forward's merged softmax stats (m, s) and
+    t[r] = g[r] . out[r].  Band edges run on the MXU slab kernels;
+    fallback edges through segment ops.  All f32."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    graph = pair.fwd
+    n, f = x.shape
+    r_blk = graph.block_rows
+    nb = graph.n_blocks
+    n_pad = nb * r_blk
+    s_safe = jnp.maximum(s, 1e-16)
+    stats = jnp.zeros((n, 128), jnp.float32)
+    for lane, v in ((_AD, alpha_dst), (_M, m), (_S, s_safe), (_T, t),
+                    (_AS, alpha_src)):
+        stats = stats.at[:, lane].set(v.astype(jnp.float32))
+    st_pad = _pad_rows(stats, r_blk, n_pad)
+    # lane _S must stay safe (nonzero) in padding rows too
+    st_pad = st_pad.at[:r_blk, _S].set(1.0)
+    st_pad = st_pad.at[r_blk + n:, _S].set(1.0)
+    x_pad = _pad_rows(x.astype(jnp.float32), r_blk, n_pad)
+    g_pad = _pad_rows(g.astype(jnp.float32), r_blk, n_pad)
+
+    k_f = graph.ell.shape[1]
+    k_t = pair.t_ell.shape[1]
+    blk_spec = lambda width: pl.BlockSpec((r_blk, width), lambda b: (b + 1, 0))
+    slab_specs = lambda width: [
+        pl.BlockSpec((r_blk, width), lambda b, o=o: (b + o, 0))
+        for o in range(3)]
+    ell_spec = lambda width: pl.BlockSpec((r_blk, width), lambda b: (b, 0))
+    out_spec = lambda width: pl.BlockSpec((r_blk, width), lambda b: (b, 0))
+
+    dad_b = pl.pallas_call(
+        functools.partial(_bwd_dst_kernel, k_f, negative_slope),
+        grid=(nb,),
+        in_specs=[ell_spec(k_f), blk_spec(128)] + slab_specs(128)
+        + [blk_spec(f)] + slab_specs(f),
+        out_specs=out_spec(128),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
+        interpret=interpret,
+    )(graph.ell, st_pad, st_pad, st_pad, st_pad, g_pad,
+      x_pad, x_pad, x_pad)[:n, 0]
+
+    dx_b, das_b = pl.pallas_call(
+        functools.partial(_bwd_src_kernel, k_t, negative_slope),
+        grid=(nb,),
+        in_specs=[ell_spec(k_t), blk_spec(128)] + slab_specs(128)
+        + [blk_spec(f)] + slab_specs(f),
+        out_specs=[out_spec(f), out_spec(128)],
+        out_shape=[jax.ShapeDtypeStruct((n_pad, f), jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad, 128), jnp.float32)],
+        interpret=interpret,
+    )(pair.t_ell, st_pad, st_pad, st_pad, st_pad, x_pad,
+      g_pad, g_pad, g_pad)
+    dx_b, das_b = dx_b[:n], das_b[:n, 0]
+
+    src, dst = graph.fb_src, graph.fb_dst
+    if src.shape[0]:
+        valid = (src >= 0) & (dst >= 0)
+        sv = jnp.where(valid, src, 0)
+        dv = jnp.where(valid, dst, 0)
+        seg_d = jnp.where(valid, dst, n)
+        seg_s = jnp.where(valid, src, n)
+        ad32 = alpha_dst.astype(jnp.float32)
+        as32 = alpha_src.astype(jnp.float32)
+        z = ad32[dv] + as32[sv]
+        lr = jnp.where(z >= 0, z, jnp.float32(negative_slope) * z)
+        a_e = jnp.where(valid, jnp.exp(lr - m[dv]) / s_safe[dv], 0.0)
+        g32 = g.astype(jnp.float32)
+        x32 = x.astype(jnp.float32)
+        gx_e = jnp.sum(g32[dv] * x32[sv], axis=-1)
+        dz = jnp.where(z >= 0, 1.0, jnp.float32(negative_slope))
+        de = a_e * (gx_e - t[dv]) * dz
+        dx_b = dx_b + jax.ops.segment_sum(
+            a_e[:, None] * g32[dv], seg_s, num_segments=n + 1)[:n]
+        dad_b = dad_b + jax.ops.segment_sum(
+            de, seg_d, num_segments=n + 1)[:n]
+        das_b = das_b + jax.ops.segment_sum(
+            de, seg_s, num_segments=n + 1)[:n]
+    return dx_b, dad_b, das_b
+
+
+def differentiable_slab_attention(pair: AttnSlabPair, *,
+                                  negative_slope: float = 0.2):
+    """Returns f(x, alpha_dst, alpha_src) -> (N, F) f32: the fused slab
+    attention aggregate with a custom VJP (both passes on the MXU slab
+    kernels).  Build once per graph and reuse under jit."""
+    from cugraph_gnn_tpu.ops.pallas.slab_kernel import slab_attention_spmm
+
+    @jax.custom_vjp
+    def f(x, alpha_dst, alpha_src):
+        return slab_attention_spmm(pair.fwd, x, alpha_dst, alpha_src,
+                                   negative_slope=negative_slope)
+
+    def fwd(x, alpha_dst, alpha_src):
+        out, m, s = slab_attention_spmm(pair.fwd, x, alpha_dst, alpha_src,
+                                        negative_slope=negative_slope,
+                                        return_stats=True)
+        return out, (x, alpha_dst, alpha_src, out, m, s)
+
+    def bwd(res, g):
+        x, alpha_dst, alpha_src, out, m, s = res
+        t = jnp.sum(g.astype(jnp.float32) * out, axis=-1)
+        dx, dad, das = slab_attention_bwd(
+            pair, x, alpha_dst, alpha_src, m, s, t, g,
+            negative_slope=negative_slope)
+        return (dx.astype(x.dtype), dad.astype(alpha_dst.dtype),
+                das.astype(alpha_src.dtype))
+
+    f.defvjp(fwd, bwd)
+    return f

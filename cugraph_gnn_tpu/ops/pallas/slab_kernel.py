@@ -232,7 +232,8 @@ def _slab_attn_kernel(k_width: int, negative_slope: float, compute_dtype,
 def slab_attention_spmm(graph: SlabGraph, x, alpha_dst, alpha_src, *,
                         negative_slope: float = 0.2,
                         compute_dtype=jnp.float32,
-                        interpret: Optional[bool] = None):
+                        interpret: Optional[bool] = None,
+                        return_stats: bool = False):
     """Fused GAT-style attention aggregate over the banded slab:
 
         e_rc   = leakyrelu(alpha_dst[r] + alpha_src[c])   (edges only)
@@ -243,7 +244,10 @@ def slab_attention_spmm(graph: SlabGraph, x, alpha_dst, alpha_src, *,
     out-of-band/overflow edges go through the segment path and merge
     into the same numerically-stable softmax (log-sum-exp merge), so
     the result is exact for any graph.  x: (N, F); alpha_*: (N,).
-    Returns (N, F) f32.
+    Returns (N, F) f32; with ``return_stats`` also the merged softmax
+    stats (m, s) per row — the residuals the backward pass
+    (ops/pallas/slab_attn_grad.py) needs to reconstruct per-edge
+    attention from per-node scalars.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -286,6 +290,7 @@ def slab_attention_spmm(graph: SlabGraph, x, alpha_dst, alpha_src, *,
     )(graph.ell, ad_pad, as_pad, as_pad, as_pad, x_pad, x_pad, x_pad)
     u, m_b, s_b = u[:n], m_b[:n, 0], s_b[:n, 0]
     # band rows with no in-band edge: m_b = 0, s_b = 0 (handled by merge)
+    m_out = m_b
 
     src, dst = graph.fb_src, graph.fb_dst
     if src.shape[0]:
@@ -310,4 +315,8 @@ def slab_attention_spmm(graph: SlabGraph, x, alpha_dst, alpha_src, *,
         wf = jnp.where(s_f > 0, jnp.exp(m_f - m), 0.0)
         u = u * wb[:, None] + u_f * wf[:, None]
         s_b = s_b * wb + s_f * wf
-    return u / jnp.maximum(s_b, 1e-16)[:, None]
+        m_out = m
+    out = u / jnp.maximum(s_b, 1e-16)[:, None]
+    if return_stats:
+        return out, m_out, s_b
+    return out

@@ -87,6 +87,38 @@ def test_random_graph_keeps_composite():
         rtol=1e-4, atol=1e-4)
 
 
+def test_gat_full_graph_gradient_matches_full(graph):
+    """Full-batch GAT trains through the fused slab attention kernel:
+    parameter gradients via full_graph == gradients via the COO full
+    path (the fused custom VJP of ops/pallas/slab_attn_grad.py)."""
+    fbg, x, src, dst, n = graph
+    conv = GATConv(32, heads=2)
+    params = conv.init(jax.random.PRNGKey(2), x[:4], x[:4, None, :],
+                       jnp.ones((4, 1), bool))
+    tgt = jax.random.normal(jax.random.PRNGKey(3), (n, 64))
+    xg = fbg.to_graph_order(x)
+    tgt_g = fbg.to_graph_order(tgt)
+
+    def loss_slab(p):
+        out = conv.apply(p, xg, fbg, method=GATConv.full_graph)
+        return jnp.sum((out - tgt_g) ** 2)
+
+    def loss_coo(p):
+        out = conv.apply(p, x, jnp.asarray(src), jnp.asarray(dst), n,
+                         method=GATConv.full)
+        return jnp.sum((out - tgt) ** 2)
+
+    g_slab = jax.grad(loss_slab)(params)
+    g_coo = jax.grad(loss_coo)(params)
+    flat_s, _ = jax.tree_util.tree_flatten(g_slab)
+    flat_c, _ = jax.tree_util.tree_flatten(g_coo)
+    for a, b in zip(flat_s, flat_c):
+        scale = max(float(jnp.max(jnp.abs(b))), 1.0)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=2e-3, atol=2e-3)
+
+
 def test_spmm_gradient_matches_segment(graph):
     """custom_vjp through the slab kernel: grads == the differentiable
     segment path's grads (transpose-graph backward, incl. fallback)."""
