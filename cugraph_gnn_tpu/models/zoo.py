@@ -11,7 +11,6 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from cugraph_gnn_tpu.models.conv import (
@@ -22,13 +21,6 @@ from cugraph_gnn_tpu.models.conv import (
     SAGEConv,
 )
 from cugraph_gnn_tpu.sampler.output import MultihopBatch
-
-
-def _gather_neigh(h_src, neigh_local):
-    """Gather neighbor features from the next level's activation array;
-    -1 indices are padding (mask applied by the conv)."""
-    safe = jnp.where(neigh_local >= 0, neigh_local, 0)
-    return h_src[safe]
 
 
 class MultihopModel(nn.Module):
@@ -57,17 +49,12 @@ class MultihopModel(nn.Module):
         for li in range(num_hops - 1, -1, -1):
             conv = self.convs[num_hops - 1 - li]
             hop = batch.hops[li]
-            s_l, k = hop.neigh_local.shape
-            x_dst = h[:s_l]
-            if batch.static_layout and h.shape[0] == s_l * (k + 1):
-                # dedup=False positional layout: the neighbors of level l
-                # are exactly rows [s_l, s_l*(k+1)) of level l+1 in order
-                # — a free slice+reshape replaces the row gather (padded
-                # slots are masked by the conv either way).
-                x_neigh = jax.lax.slice_in_dim(
-                    h, s_l, s_l * (k + 1)).reshape(s_l, k, h.shape[-1])
-            else:
-                x_neigh = _gather_neigh(h, hop.neigh_local)
+            # layout-aware: prefix slice / positional neighbor slice /
+            # (shard-blockwise when batch.num_shards > 1, i.e. the batch
+            # came from a distributed sampler whose global arrays are
+            # per-shard concatenations) — see sampler/output.py.
+            x_dst = batch.dst_activations(h, li)
+            x_neigh = batch.gather_neighbors(h, li)
             h = conv(x_dst, x_neigh, hop.mask)
             if li != 0:
                 h = nn.relu(h)
@@ -156,21 +143,26 @@ class RGCN(nn.Module):
             for i, d in enumerate(dims)
         ]
 
-    def __call__(self, x_input, rel_batches):
+    def __call__(self, x_input, rel_batches, num_shards: int = 1):
         """rel_batches: list over layers (output order matches convs) of
         per-relation [(neigh_local, mask) | None] block lists; the dst
-        slice size is taken from the blocks' static shapes."""
+        slice size is taken from the blocks' static shapes.  Pass
+        ``num_shards=batch.num_shards`` for batches from a distributed
+        sampler (shard-relative indices, see sampler/output.py)."""
+        from cugraph_gnn_tpu.sampler.output import shard_gather, shard_prefix
+
         h = x_input
         for conv, rel_blocks in zip(self.convs, rel_batches):
             s_l = next(b[0].shape[0] for b in rel_blocks if b is not None)
-            x_dst = h[:s_l]
+            x_dst = shard_prefix(h, s_l, num_shards)
             blocks = []
             for blk in rel_blocks:
                 if blk is None:
                     blocks.append(None)
                 else:
                     neigh_local, mask = blk
-                    blocks.append((_gather_neigh(h, neigh_local), mask))
+                    blocks.append(
+                        (shard_gather(h, neigh_local, num_shards), mask))
             h = conv(x_dst, blocks)
             if conv is not self.convs[-1]:
                 h = nn.relu(h)

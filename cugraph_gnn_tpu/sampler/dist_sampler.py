@@ -300,7 +300,9 @@ class DistNeighborSampler:
                         jnp.where(okt, flat_t, big))
                     seed_time = tf
             return MultihopBatch(levels=levels, level_counts=level_counts,
-                                 hops=hops, seed_count=level_counts[0])
+                                 hops=hops, seed_count=level_counts[0],
+                                 static_layout=not dedup,
+                                 num_shards=g.book.world_size)
 
         return fn
 
@@ -322,7 +324,9 @@ class DistNeighborSampler:
                 level_counts=[P()] * n_lvl,
                 hops=[HopBlock(P(g.axis), P(g.axis), P(g.axis))
                       for _ in self.fanouts],
-                seed_count=P()),
+                seed_count=P(),
+                static_layout=not self.dedup,
+                num_shards=g.book.world_size),
         )
         return shard(g.indptr, g.indices, g.edge_base, g.weights, g.times,
                      key, seeds, node_times)

@@ -29,6 +29,11 @@ class HeteroMultihopBatch(NamedTuple):
     level_counts: List[jax.Array]
     hops: List[Dict[str, HopBlock]]   # per hop: edge-type-str -> block
     seed_count: jax.Array
+    # Static shard count (see sampler/output.py MultihopBatch.num_shards):
+    # > 1 when the batch came from a distributed sampler, where the
+    # global arrays are per-shard arrays concatenated and neigh_local is
+    # shard-relative.
+    num_shards: int = 1
 
     @property
     def num_hops(self) -> int:
@@ -38,11 +43,27 @@ class HeteroMultihopBatch(NamedTuple):
     def input_nodes(self):
         return self.levels[-1]
 
+    def dst_activations(self, h, hop_index: int):
+        """Level-l target rows of the level-(l+1) activation array
+        (blockwise prefix when sharded)."""
+        from cugraph_gnn_tpu.sampler.output import shard_prefix
+        blocks = self.hops[hop_index]
+        s_l = next(iter(blocks.values())).neigh_local.shape[0]
+        return shard_prefix(h, s_l, self.num_shards)
+
+    def gather_neighbors(self, h, hop_index: int, etype: str):
+        """Neighbor activations for one edge type's block of hop l
+        (shard-relative indices handled; mask with the block's mask)."""
+        from cugraph_gnn_tpu.sampler.output import shard_gather
+        return shard_gather(h, self.hops[hop_index][etype].neigh_local,
+                            self.num_shards)
+
 
 jax.tree_util.register_pytree_node(
     HeteroMultihopBatch,
-    lambda b: ((b.levels, b.level_counts, b.hops, b.seed_count), None),
-    lambda _, c: HeteroMultihopBatch(*c),
+    lambda b: ((b.levels, b.level_counts, b.hops, b.seed_count),
+               b.num_shards),
+    lambda aux, c: HeteroMultihopBatch(*c, num_shards=aux),
 )
 
 

@@ -194,7 +194,8 @@ class HeteroDistNeighborSampler:
                     seed_time = tf
             return HeteroMultihopBatch(
                 levels=levels, level_counts=level_counts, hops=hops,
-                seed_count=level_counts[0])
+                seed_count=level_counts[0],
+                num_shards=g.mesh.shape[axis])
 
         return fn
 
@@ -227,6 +228,7 @@ class HeteroDistNeighborSampler:
                 levels=[P(axis)] * n_lvl,
                 level_counts=[P()] * n_lvl,
                 hops=hop_specs,
-                seed_count=P()),
+                seed_count=P(),
+                num_shards=g.mesh.shape[axis]),
         )
         return shard(graphs_data, key, seeds, node_times)

@@ -65,6 +65,13 @@ class MultihopBatch(NamedTuple):
     # of a row gather — on v5e the hop-1 gather of ~113k rows is
     # row-rate-bound (~227M rows/s), so this removes ~0.5 ms/step.
     static_layout: bool = False
+    # Static (pytree-aux) shard count.  Distributed samplers run one
+    # copy of the multihop body per mesh shard; the global arrays
+    # returned by shard_map are the per-shard arrays CONCATENATED, so
+    # levels[l] is NOT a prefix of levels[l+1] and neigh_local is
+    # shard-relative.  num_shards > 1 tells consumers (the model zoo,
+    # dst_activations / gather_neighbors below) to index blockwise.
+    num_shards: int = 1
 
     @property
     def num_hops(self) -> int:
@@ -75,12 +82,59 @@ class MultihopBatch(NamedTuple):
         """Deepest level — the nodes whose features must be gathered."""
         return self.levels[-1]
 
+    def dst_activations(self, h, hop_index: int):
+        """The level-l target rows of ``h``, the level-(l+1) activation
+        array (h.shape[0] == len(levels[l+1])).  Single-shard: a prefix
+        slice; sharded: each shard's targets prefix its slice."""
+        s_l = self.hops[hop_index].neigh_local.shape[0]
+        return shard_prefix(h, s_l, self.num_shards)
+
+    def gather_neighbors(self, h, hop_index: int):
+        """Neighbor activations (S_l, k, F) of hop l from the
+        level-(l+1) activation array ``h``; -1 slots carry garbage rows
+        (mask with hops[l].mask).  Uses the free positional slice when
+        the batch has the dedup=False static layout."""
+        hop = self.hops[hop_index]
+        s_l, k = hop.neigh_local.shape
+        w = self.num_shards
+        if self.static_layout and h.shape[0] == s_l * (k + 1):
+            t_l, t_next = s_l // w, h.shape[0] // w
+            body = h.reshape(w, t_next, h.shape[-1])[:, t_l:]
+            return body.reshape(s_l, k, h.shape[-1])
+        return shard_gather(h, hop.neigh_local, w)
+
+
+def shard_prefix(h, s_l: int, num_shards: int = 1):
+    """First t_l = s_l / W rows of each of W equal blocks of ``h``
+    (= h[:s_l] when W == 1): per-shard levels put targets first."""
+    if num_shards == 1:
+        return h[:s_l]
+    t_next = h.shape[0] // num_shards
+    t_l = s_l // num_shards
+    return h.reshape(num_shards, t_next, *h.shape[1:])[:, :t_l].reshape(
+        s_l, *h.shape[1:])
+
+
+def shard_gather(h, neigh_local, num_shards: int = 1):
+    """h[neigh_local] with shard-relative indices: row i of neigh_local
+    belongs to shard i // (S_l / W) and indexes into that shard's block
+    of ``h``.  -1 indices read row 0 of the shard (callers mask)."""
+    safe = jnp.where(neigh_local >= 0, neigh_local, 0)
+    if num_shards == 1:
+        return h[safe]
+    s_l = neigh_local.shape[0]
+    t_next = h.shape[0] // num_shards
+    t_l = s_l // num_shards
+    off = (jnp.arange(s_l, dtype=jnp.int32) // t_l) * t_next
+    return h[safe + off[:, None]]
+
 
 jax.tree_util.register_pytree_node(
     MultihopBatch,
     lambda b: ((b.levels, b.level_counts, b.hops, b.seed_count),
-               b.static_layout),
-    lambda aux, c: MultihopBatch(*c, static_layout=aux),
+               (b.static_layout, b.num_shards)),
+    lambda aux, c: MultihopBatch(*c, static_layout=aux[0],
+                                 num_shards=aux[1]),
 )
 
 

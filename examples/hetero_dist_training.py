@@ -77,11 +77,12 @@ def main():
                 h = jnp.where(is_t[:, None], proj, h)
             h = nn.relu(h)
             # mean over each level-0 seed's sampled neighbors per etype
-            s0 = sample.levels[0].shape[0]
-            agg = h[:s0]
-            for hop in sample.hops[0].values():
+            # (dst_activations / gather_neighbors handle the sharded
+            # concatenated layout of distributed batches)
+            agg = sample.dst_activations(h, 0)
+            for ename, hop in sample.hops[0].items():
                 k = hop.neigh_local.shape[1]
-                neigh = h[jnp.clip(hop.neigh_local, 0)]
+                neigh = sample.gather_neighbors(h, 0, ename)
                 m = hop.mask[..., None]
                 agg = agg + jnp.sum(jnp.where(m, neigh, 0), axis=1) / k
             return nn.Dense(self.classes, name="out")(nn.relu(agg))

@@ -239,3 +239,73 @@ def test_dist_loader_auto_caps(mesh, stores):
     valid = seeds >= 0
     yb = np.asarray(batch.y)
     np.testing.assert_array_equal(yb[valid], y[seeds[valid]])
+
+
+def test_dist_batch_model_wiring(mesh, stores):
+    """Model output on a distributed batch == applying the same params
+    to each shard's slice as a single-shard batch: pins the
+    num_shards-aware layout handling (dst_activations/gather_neighbors).
+    A loss-decrease assertion alone can mask scrambled neighbor wiring."""
+    import jax.numpy as jnp
+
+    from cugraph_gnn_tpu.models import GraphSAGE
+    from cugraph_gnn_tpu.sampler.output import HopBlock, MultihopBatch
+
+    fs, gs, x, y, src, dst = stores
+    w = 8
+    for dedup in (False, True):
+        loader = DistNeighborLoader((fs, gs), [3, 2], mesh=mesh,
+                                    batch_size=32, dedup=dedup, seed=1)
+        batch = next(iter(loader))
+        sample = batch.sample
+        assert sample.num_shards == w
+        model = GraphSAGE(hidden_features=8, out_features=4, num_layers=2)
+        params = model.init(jax.random.PRNGKey(0), batch.x, sample)
+        out = np.asarray(model.apply(params, batch.x, sample))
+        lv = [np.asarray(l).reshape(w, -1) for l in sample.levels]
+        xg = np.asarray(batch.x).reshape(w, lv[-1].shape[1], -1)
+        t0 = lv[0].shape[1]
+        for r in range(w):
+            hops = []
+            for li, hop in enumerate(sample.hops):
+                t = lv[li].shape[1]
+                sl = lambda a: jnp.asarray(
+                    np.asarray(a).reshape(w, t, -1)[r])
+                hops.append(HopBlock(neigh_local=sl(hop.neigh_local),
+                                     neigh_global=sl(hop.neigh_global),
+                                     edge_ids=sl(hop.edge_ids)))
+            sb = MultihopBatch(
+                levels=[jnp.asarray(l[r]) for l in lv],
+                level_counts=sample.level_counts, hops=hops,
+                seed_count=sample.seed_count,
+                static_layout=sample.static_layout, num_shards=1)
+            out_r = np.asarray(model.apply(params, jnp.asarray(xg[r]), sb))
+            np.testing.assert_allclose(out[r * t0:(r + 1) * t0], out_r,
+                                       rtol=1e-5, atol=1e-5,
+                                       err_msg=f"dedup={dedup} shard {r}")
+
+
+def test_dist_hetero_batch_gather_wiring(mesh, hetero_stores):
+    """dst_activations / gather_neighbors on a hetero distributed batch
+    resolve to the correct global node ids (identity activations)."""
+    import jax.numpy as jnp
+
+    fs, gs, x_p, x_a, y_p = hetero_stores
+    n_p = x_p.shape[0]
+    loader = DistNeighborLoader(
+        (fs, gs), [3, 2], mesh=mesh,
+        input_nodes=("paper", np.arange(n_p)), batch_size=32, seed=4)
+    batch = next(iter(loader))
+    sample = batch.sample
+    for li in range(sample.num_hops - 1, -1, -1):
+        # identity activations: value = the level-(l+1) global node id
+        h = jnp.asarray(np.asarray(sample.levels[li + 1]).astype(
+            np.float32)[:, None])
+        dst = np.asarray(sample.dst_activations(h, li))[:, 0]
+        np.testing.assert_array_equal(dst, np.asarray(sample.levels[li]))
+        for ename, hop in sample.hops[li].items():
+            got = np.asarray(sample.gather_neighbors(h, li, ename))[..., 0]
+            ng = np.asarray(hop.neigh_global)
+            m = ng >= 0
+            np.testing.assert_array_equal(got[m], ng[m],
+                                          err_msg=f"hop {li} {ename}")
