@@ -1,8 +1,12 @@
-from cugraph_gnn_tpu.loader.dist_loader import DistNeighborLoader
+from cugraph_gnn_tpu.loader.dist_loader import (
+    DistLinkNeighborLoader,
+    DistNeighborLoader,
+)
 from cugraph_gnn_tpu.loader.link_loader import LinkBatch, LinkLoader, LinkNeighborLoader
 from cugraph_gnn_tpu.loader.node_loader import NeighborLoader, NodeBatch, NodeLoader
 
 __all__ = [
+    "DistLinkNeighborLoader",
     "DistNeighborLoader",
     "LinkBatch",
     "LinkLoader",

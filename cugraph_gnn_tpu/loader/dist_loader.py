@@ -249,7 +249,8 @@ class DistNeighborLoader:
             for h in range(sampler.num_hops)]
         batch_specs = HeteroMultihopBatch(
             levels=[P(axis)] * n_lvl, level_counts=[P()] * n_lvl,
-            hops=hop_specs, seed_count=P())
+            hops=hop_specs, seed_count=P(),
+            num_shards=self.mesh.shape[axis])
         x_specs = (P() if feats is None
                    else {nt: P(axis) for nt in feats})
         shard = jax.shard_map(
@@ -292,7 +293,9 @@ class DistNeighborLoader:
             levels=[P(axis)] * n_lvl, level_counts=[P()] * n_lvl,
             hops=[HopBlock(P(axis), P(axis), P(axis))
                   for _ in self.sampler.fanouts],
-            seed_count=P())
+            seed_count=P(),
+            static_layout=not self.sampler.dedup,
+            num_shards=self.mesh.shape[axis])
         shard = jax.shard_map(
             body, mesh=self.mesh,
             in_specs=(P(axis), P(axis), P(), opt(g.weights), opt(g.times),
@@ -357,3 +360,148 @@ class DistNeighborLoader:
                                      seeds_j, times)
             yield NodeBatch(sample=sample, x=x, y=y, seeds=seeds_j,
                             input_id=jnp.asarray(input_id), batch_size=b)
+
+
+class DistLinkNeighborLoader:
+    """LinkNeighborLoader over a mesh: edge-seeded link prediction with
+    the same fixed seed layout as the single-chip loader —
+
+        seeds = [pos_src (B) | pos_dst (B) | neg_src (N) | neg_dst (N)]
+
+    padded to a mesh-axis multiple, sampled + feature-gathered by the
+    SAME jitted shard_map step as DistNeighborLoader (homogeneous or
+    heterogeneous; uniform/weighted/temporal via weight_attr/time_attr).
+    This is the multi-GPU link-pred deployment of the reference
+    (ref cugraph_pyg/loader/link_neighbor_loader.py:20-239 used
+    multi-GPU in examples/mag_lp_mnmg.py:100-160, rgcn_link_class_mnmg.py)
+    as a loader product.  Heterogeneous seeds: pass
+    ``edge_label_index = (edge_type, (2, E))`` with type-local ids;
+    negatives are drawn inside the src/dst node-type ranges.
+    """
+
+    def __init__(self, data: Tuple[FeatureStore, GraphStore],
+                 num_neighbors: Sequence[int], mesh, edge_label_index,
+                 edge_label=None, neg_sampling=None, batch_size: int = 512,
+                 shuffle: bool = False, drop_last: bool = False,
+                 weight_attr: Optional[str] = None,
+                 time_attr: Optional[str] = None, x_attr: str = "x",
+                 seed: int = 0, dedup: bool = False,
+                 max_unique_per_hop: Optional[Sequence[int]] = None,
+                 reject_true_edges: bool = False, axis: str = STORE_AXIS):
+        from cugraph_gnn_tpu.sampler.negative import (
+            NegativeSampling,
+            make_edge_key_sorted,
+        )
+        _, graph_store = data
+        self.edge_type = None
+        if (isinstance(edge_label_index, tuple)
+                and len(edge_label_index) == 2
+                and isinstance(edge_label_index[0], (tuple, str))):
+            self.edge_type, edge_label_index = edge_label_index
+        eli = np.asarray(edge_label_index)
+        self.pos_src = eli[0].astype(np.int64)   # type-local ids
+        self.pos_dst = eli[1].astype(np.int64)
+        self.edge_label = (None if edge_label is None
+                           else np.asarray(edge_label))
+        if isinstance(neg_sampling, str):
+            neg_sampling = NegativeSampling(mode=neg_sampling)
+        elif isinstance(neg_sampling, dict):
+            neg_sampling = NegativeSampling(**neg_sampling)
+        self.neg = neg_sampling
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._epoch = 0
+        self._base_key = jax.random.PRNGKey(seed)
+        if self.edge_type is not None:
+            src_t, _, dst_t = self.edge_type
+            self.src_offset = int(graph_store.node_offset(src_t))
+            self.dst_offset = int(graph_store.node_offset(dst_t))
+            self.num_src = int(graph_store.num_nodes(src_t))
+            self.num_dst = int(graph_store.num_nodes(dst_t))
+        else:
+            self.src_offset = self.dst_offset = 0
+            self.num_src = self.num_dst = int(graph_store.num_nodes())
+        self._edge_key_sorted = None
+        if reject_true_edges:
+            self._edge_key_sorted = make_edge_key_sorted(
+                self.pos_src, self.pos_dst, self.num_dst)
+        self.num_neg = (0 if self.neg is None
+                        else int(self.batch_size * self.neg.amount))
+        world = mesh.shape[axis]
+        total = 2 * (self.batch_size + self.num_neg)
+        self.seed_count = -(-total // world) * world
+        # all sampling/gather machinery comes from the node loader; the
+        # link loader only changes how the seed vector is laid out.
+        self._nl = DistNeighborLoader(
+            data, num_neighbors, mesh, input_nodes=np.zeros(0, np.int64),
+            batch_size=self.seed_count, weight_attr=weight_attr,
+            time_attr=time_attr, x_attr=x_attr,
+            y_attr="__link_loaders_have_no_labels__", seed=seed,
+            dedup=dedup, max_unique_per_hop=max_unique_per_hop, axis=axis)
+        self.mesh = mesh
+        self.hetero = self._nl.hetero
+
+    def __len__(self):
+        n = len(self.pos_src)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator["LinkBatch"]:
+        from cugraph_gnn_tpu.loader.link_loader import (
+            LinkBatch,
+            draw_negatives,
+        )
+        order = np.arange(len(self.pos_src))
+        if self.shuffle:
+            np.random.default_rng(self._epoch + 999).shuffle(order)
+        key = jax.random.fold_in(self._base_key, self._epoch)
+        self._epoch += 1
+        b, n_neg, s_cnt = self.batch_size, self.num_neg, self.seed_count
+
+        def off(ids, o):
+            ids = np.asarray(ids, np.int64)
+            return np.where(ids >= 0, ids + o, -1)
+
+        for i in range(len(self)):
+            sel = order[i * b: (i + 1) * b]
+            ps = np.full((b,), -1, np.int64)
+            pd = np.full((b,), -1, np.int64)
+            ps[: len(sel)] = self.pos_src[sel]
+            pd[: len(sel)] = self.pos_dst[sel]
+            input_id = np.full((b,), -1, np.int64)
+            input_id[: len(sel)] = sel
+            kk = jax.random.fold_in(key, i)
+            if n_neg:
+                ns, nd = draw_negatives(
+                    jax.random.fold_in(kk, 1), ps, n_neg, self.num_src,
+                    self.num_dst, self.neg, self._edge_key_sorted)
+                ns, nd = np.asarray(ns), np.asarray(nd)
+            else:
+                ns = nd = np.zeros((0,), np.int64)
+            seeds = np.full((s_cnt,), -1, np.int64)
+            seeds[:b] = off(ps, self.src_offset)
+            seeds[b:2 * b] = off(pd, self.dst_offset)
+            seeds[2 * b:2 * b + n_neg] = off(ns, self.src_offset)
+            seeds[2 * b + n_neg:2 * b + 2 * n_neg] = off(nd, self.dst_offset)
+            seeds_j = put_global(seeds.astype(np.int32),
+                                 self._nl._sharding)
+            sample, x, _ = self._nl.step(jax.random.fold_in(kk, 2), seeds_j)
+            pos_idx = jnp.stack([
+                jnp.arange(b, dtype=jnp.int32),
+                jnp.arange(b, dtype=jnp.int32) + b])
+            neg_idx = jnp.stack([
+                jnp.arange(n_neg, dtype=jnp.int32) + 2 * b,
+                jnp.arange(n_neg, dtype=jnp.int32) + 2 * b + n_neg])
+            eli = jnp.concatenate([pos_idx, neg_idx], axis=1)
+            pos_lab = (jnp.asarray(ps) >= 0).astype(jnp.float32)
+            if self.edge_label is not None:
+                lab = np.zeros((b,), np.float32)
+                lab[: len(sel)] = self.edge_label[sel]
+                pos_lab = jnp.asarray(lab) * pos_lab
+            neg_lab = jnp.zeros((n_neg,), jnp.float32)
+            yield LinkBatch(
+                sample=sample, x=x, edge_label_index=eli,
+                edge_label=jnp.concatenate([pos_lab, neg_lab]),
+                seeds=seeds_j, input_id=jnp.asarray(input_id))

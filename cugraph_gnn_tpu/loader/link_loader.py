@@ -44,6 +44,24 @@ from cugraph_gnn_tpu.sampler.negative import (
 )
 
 
+def draw_negatives(key, ps, n_neg, num_src, num_dst, neg,
+                   edge_key_sorted=None):
+    """binary: independent (src, dst) corruption pairs.
+    triplet: negatives share the positive sources — each positive
+    source gets ``amount`` corrupted destinations
+    (ref sampler_utils.py PyG triplet semantics)."""
+    if neg.mode == "triplet":
+        amount = max(int(neg.amount), 1)
+        ns = jnp.repeat(jnp.asarray(ps, jnp.int32), amount)[:n_neg]
+        _, nd = sample_negative_edges(key, num_src, num_dst, n_neg, neg,
+                                      edge_key_sorted)
+        # invalidate negatives whose source is padding
+        nd = jnp.where(ns >= 0, nd, -1)
+        return ns, nd
+    return sample_negative_edges(key, num_src, num_dst, n_neg, neg,
+                                 edge_key_sorted)
+
+
 @dataclasses.dataclass
 class LinkBatch:
     """One link-prediction batch."""
@@ -109,22 +127,8 @@ class LinkLoader:
         return int(self.batch_size * self.neg.amount)
 
     def _negatives(self, key, ps, n_neg):
-        """binary: independent (src, dst) corruption pairs.
-        triplet: negatives share the positive sources — each positive
-        source gets ``amount`` corrupted destinations
-        (ref sampler_utils.py PyG triplet semantics)."""
-        if self.neg.mode == "triplet":
-            amount = max(int(self.neg.amount), 1)
-            ns = jnp.repeat(jnp.asarray(ps, jnp.int32), amount)[:n_neg]
-            _, nd = sample_negative_edges(
-                key, self.num_src, self.num_dst, n_neg, self.neg,
-                self._edge_key_sorted)
-            # invalidate negatives whose source is padding
-            nd = jnp.where(ns >= 0, nd, -1)
-            return ns, nd
-        return sample_negative_edges(
-            key, self.num_src, self.num_dst, n_neg, self.neg,
-            self._edge_key_sorted)
+        return draw_negatives(key, ps, n_neg, self.num_src, self.num_dst,
+                              self.neg, self._edge_key_sorted)
 
     def __iter__(self) -> Iterator[LinkBatch]:
         order = np.arange(len(self.pos_src))
