@@ -72,6 +72,8 @@ def main():
         DEG_CAP).astype(np.int64)
     max_degree = int(deg.max())
     indptr_np = np.concatenate([[0], np.cumsum(deg)]).astype(np.int32)
+    from cugraph_gnn_tpu.ops.window_gather import hub_fraction
+    hub_frac = hub_fraction(indptr_np)   # static stat -> hub buffer size
     num_edges = int(indptr_np[-1])
     # pad the edge array to a 512B-line multiple for the window gather
     num_edges_pad = -(-num_edges // 128) * 128
@@ -101,10 +103,10 @@ def main():
     t = time.perf_counter()
     sample0 = jax.block_until_ready(jax.jit(
         multihop_uniform,
-        static_argnames=("fanouts", "dedup", "max_degree"))(
+        static_argnames=("fanouts", "dedup", "max_degree", "hub_frac"))(
         jax.random.PRNGKey(0), indptr_j, indices_j, seeds0, fanouts=FANOUTS,
         dedup=False, indices2d=indices_j.reshape(-1, 128),
-        max_degree=max_degree))
+        max_degree=max_degree, hub_frac=hub_frac))
     log(f"sampler compile+run in {time.perf_counter()-t:.1f}s")
     t = time.perf_counter()
     x0 = feats[jnp.clip(sample0.input_nodes, 0)]
@@ -124,7 +126,8 @@ def main():
         sample = multihop_uniform(sk, indptr, indices, seeds, FANOUTS,
                                   dedup=False,
                                   indices2d=indices.reshape(-1, 128),
-                                  max_degree=max_degree)
+                                  max_degree=max_degree,
+                                  hub_frac=hub_frac)
         inp = sample.input_nodes
         x = jnp.where((inp >= 0)[:, None], feats[jnp.clip(inp, 0)], 0)
         y = labels[jnp.clip(seeds, 0)]

@@ -132,7 +132,8 @@ def _empty_output(num_seeds: int, fanout: int) -> SampleOutput:
 
 def uniform_sample(key, indptr, indices, seeds, fanout: int, *,
                    indices2d=None, max_degree=None,
-                   max_window_lines: int = 4) -> SampleOutput:
+                   max_window_lines: int = 4,
+                   hub_frac=None) -> SampleOutput:
     """One-hop uniform neighbor sampling without replacement.
 
     ref: wholegraph_csr_unweighted_sample_without_replacement
@@ -158,7 +159,8 @@ def uniform_sample(key, indptr, indices, seeds, fanout: int, *,
         from cugraph_gnn_tpu.ops.window_gather import gather_csr_values
         nbr = gather_csr_values(indices2d, start, pos, degrees=deg,
                                 max_degree=max_degree,
-                                max_window_lines=max_window_lines)
+                                max_window_lines=max_window_lines,
+                                hub_frac=hub_frac)
         neighbors = jnp.where(valid, nbr, NEG).astype(jnp.int32)
     else:
         neighbors = jnp.where(
@@ -236,11 +238,11 @@ def _gumbel_from_uniform(u):
 
 
 def _final_neighbors(indices, indices2d, start, pos, deg, max_degree,
-                     valid):
+                     valid, hub_frac=None):
     if indices2d is not None:
         from cugraph_gnn_tpu.ops.window_gather import gather_csr_values
         nbr = gather_csr_values(indices2d, start, pos, degrees=deg,
-                                max_degree=max_degree)
+                                max_degree=max_degree, hub_frac=hub_frac)
         return jnp.where(valid, nbr, NEG).astype(jnp.int32)
     eids = jnp.where(valid, start[:, None] + pos, 0)
     return jnp.where(valid, indices[eids], NEG).astype(jnp.int32)
@@ -250,7 +252,7 @@ def weighted_sample(key, indptr, indices, weights, seeds, fanout: int,
                     *, max_degree: int, time_filter=None,
                     chunk: int = 256, indices2d=None, weights2d=None,
                     edge_times=None, times2d=None,
-                    seed_time=None) -> SampleOutput:
+                    seed_time=None, hub_frac=None) -> SampleOutput:
     """Weighted (biased) sampling without replacement via Gumbel top-k.
 
     P(select set) matches weighted reservoir sampling (A-ExpJ) — the
@@ -295,7 +297,7 @@ def weighted_sample(key, indptr, indices, weights, seeds, fanout: int,
     valid = pos >= 0
     edge_ids = jnp.where(valid, start[:, None] + pos, NEG)
     neighbors = _final_neighbors(indices, indices2d, start, pos, deg,
-                                 max_degree, valid)
+                                 max_degree, valid, hub_frac=hub_frac)
     return SampleOutput(neighbors, edge_ids, jnp.sum(valid, axis=1).astype(jnp.int32))
 
 
@@ -303,7 +305,7 @@ def masked_uniform_sample(key, indptr, indices, seeds, fanout: int,
                           *, max_degree: int, time_filter=None,
                           chunk: int = 256, indices2d=None,
                           edge_times=None, times2d=None,
-                          seed_time=None) -> SampleOutput:
+                          seed_time=None, hub_frac=None) -> SampleOutput:
     """Uniform sampling restricted to edges passing ``time_filter``
     (temporal sampling, ref distributed_sampler.py:53-94 temporal
     variants).  Bottom-k of iid uniform keys over valid edges == uniform
@@ -340,7 +342,7 @@ def masked_uniform_sample(key, indptr, indices, seeds, fanout: int,
     valid = pos >= 0
     edge_ids = jnp.where(valid, start[:, None] + pos, NEG)
     neighbors = _final_neighbors(indices, indices2d, start, pos, deg,
-                                 max_degree, valid)
+                                 max_degree, valid, hub_frac=hub_frac)
     return SampleOutput(neighbors, edge_ids, jnp.sum(valid, axis=1).astype(jnp.int32))
 
 

@@ -164,22 +164,108 @@ def gather_hub_compact(values2d, start, pos, hub, hub_capacity: int):
     return bpad[jnp.minimum(slot, h)][:, :k]
 
 
+def hybrid_degree_cap(hybrid_window_lines: int = 2) -> int:
+    """Largest row degree the hybrid's window tier always covers."""
+    return hybrid_window_lines * LINE - (LINE - 1)
+
+
+def hub_fraction(indptr, hybrid_window_lines: int = 2) -> float:
+    """Host-side fraction of rows whose degree exceeds the hybrid window
+    tier — feeds ``hub_frac`` below for right-sized hub capacities."""
+    indptr = np.asarray(indptr)
+    deg = indptr[1:] - indptr[:-1]
+    return float((deg > hybrid_degree_cap(hybrid_window_lines)).mean())
+
+
+def _auto_hub_capacity(s: int, hub_frac) -> int:
+    """Static capacity for ~Binomial(s, frac) hub counts: mean + 6 sigma
+    + slack, rounded to a line multiple.  Overflow batches (possible
+    when seeds are degree-biased, e.g. real-graph neighbors) hit the
+    exact lax.cond fallback — slower, never wrong."""
+    if hub_frac is None:
+        return max(LINE, s // 8)
+    mean = s * float(hub_frac)
+    cap = mean + 6.0 * np.sqrt(max(mean, 1.0)) + 64.0
+    return int(min(max(LINE, -(-cap // LINE) * LINE), s))
+
+
+def gather_hybrid_combined(values2d, start, pos, degrees, *, lines: int,
+                           hub_capacity: int):
+    """Two-tier hybrid as ONE gather: window lines for small rows and
+    per-entry lines for compacted hub rows ride a single XLA gather
+    (small gathers are ramp-limited — ~64M rows/s at these sizes vs
+    227M peak — so fusing the two index sets is worth ~25% of the
+    stage, measured benchmarks/hub_probe.py), then VPU lane selects and
+    a scatter-back of the hub rows (h rows instead of the previous
+    S-row gather-back)."""
+    s, k = pos.shape
+    nl = values2d.shape[0]
+    h = hub_capacity
+    hub = degrees > hybrid_degree_cap(lines)
+    small = (~hub)[:, None]
+    line0 = start // LINE
+    win_idx = jnp.minimum(
+        line0[:, None] + jnp.arange(lines, dtype=start.dtype), nl - 1)
+    row_of_slot = jnp.nonzero(hub, size=h, fill_value=s)[0].astype(jnp.int32)
+    n_hub = jnp.sum(hub.astype(jnp.int32))
+
+    def combined(_):
+        safe_row = jnp.minimum(row_of_slot, s - 1)
+        bstart = start[safe_row]
+        live = (jnp.arange(h, dtype=jnp.int32) < n_hub)[:, None]
+        bpos = jnp.where(live & (pos[safe_row] >= 0), pos[safe_row], -1)
+        beid = jnp.where(bpos >= 0, bstart[:, None] + bpos, 0)
+        bline = jnp.minimum(beid // LINE, nl - 1)
+        allidx = jnp.concatenate([win_idx.reshape(-1), bline.reshape(-1)])
+        rows = values2d[allidx]                       # ONE gather
+        w = rows[: s * lines].reshape(s, lines, LINE)
+        brows = rows[s * lines:].reshape(h, k, LINE)
+        # small tier: hierarchical line select + lane one-hot
+        off = (start % LINE)[:, None] + pos
+        valid = (pos >= 0) & small
+        li = off // LINE
+        lane = off % LINE
+        wsel = jnp.zeros((s, k, LINE), w.dtype)
+        for l in range(lines):
+            wsel = jnp.where((li == l)[:, :, None], w[:, None, l, :], wsel)
+        j = jnp.arange(LINE, dtype=jnp.int32)
+        oh = (lane[..., None] == j) & valid[..., None]
+        out_small = jnp.sum(jnp.where(oh, wsel, 0), axis=2)
+        # hub tier: lane select in the compacted buffer, scatter back
+        blane = beid % LINE
+        boh = (blane[..., None] == j) & (bpos[..., None] >= 0)
+        bvals = jnp.sum(jnp.where(boh, brows, 0), axis=-1)
+        out = jnp.where(small, out_small, 0)
+        return out.at[row_of_slot].set(jnp.where(live, bvals, 0),
+                                       mode="drop")
+
+    def overflow(_):
+        out_small = gather_window(values2d, start,
+                                  jnp.where(small, pos, -1), lines=lines)
+        eids = jnp.where(small | (pos < 0), -1, start[:, None] + pos)
+        return jnp.where(small, out_small,
+                         gather_lines_per_entry(values2d, eids))
+
+    return jax.lax.cond(n_hub <= h, combined, overflow, operand=None)
+
+
 def gather_csr_values(values2d, start, pos, *, degrees=None,
                       max_degree=None, max_window_lines: int = 4,
                       hybrid_window_lines: int = 2,
-                      hub_capacity=None):
+                      hub_capacity=None, hub_frac=None):
     """Dispatch: window select when the static degree bound fits
     ``max_window_lines`` 512B lines (the 9x fast path); on skewed graphs
-    (``degrees`` given, max degree too big) a two-tier hybrid — window
-    for the small rows plus a compacted per-entry gather for the hub
-    rows (power-law tails must not drag every row onto the slow path).
-    The hybrid's window is ``hybrid_window_lines`` wide: narrower than
-    the pure path because every line costs gather rows for EVERY seed,
-    while hub rows only cost per-entry reads for themselves (measured on
-    v5e at bench shapes: 2-line hybrid 0.77 ms vs 4-line 1.03 ms net).
-    If a batch lands more hub rows than ``hub_capacity`` (default S//8),
-    a lax.cond falls back to the uncompacted per-entry gather — slower,
-    never wrong."""
+    (``degrees`` given, max degree too big) the two-tier combined hybrid
+    (gather_hybrid_combined) — window lines for small rows + compacted
+    per-entry reads for hub rows, fused into one gather.  The hybrid's
+    window is ``hybrid_window_lines`` wide: narrower than the pure path
+    because every line costs gather rows for EVERY seed, while hub rows
+    only cost per-entry reads for themselves.
+
+    hub_capacity: static hub-row buffer size; default sized from
+    ``hub_frac`` (the graph's hub fraction, see :func:`hub_fraction`)
+    or S//8 when unknown.  Batches with more hub rows than the capacity
+    take an exact uncompacted fallback via lax.cond."""
     if max_degree is not None:
         lines = window_lines_for(max_degree)
         if lines <= max_window_lines:
@@ -189,23 +275,7 @@ def gather_csr_values(values2d, start, pos, *, degrees=None,
         return gather_lines_per_entry(values2d, eids)
     s = start.shape[0]
     if hub_capacity is None:
-        hub_capacity = max(LINE, s // 8)
-    cap = hybrid_window_lines * LINE - (LINE - 1)
-    hub = degrees > cap
-    small = (~hub)[:, None]
-    out_small = gather_window(values2d, start, jnp.where(small, pos, -1),
-                              lines=hybrid_window_lines)
-    n_hub = jnp.sum(hub.astype(jnp.int32))
-
-    def compact_path(_):
-        return gather_hub_compact(values2d, start,
-                                  jnp.where(small, -1, pos),
-                                  hub, hub_capacity)
-
-    def full_path(_):
-        eids = jnp.where(small | (pos < 0), -1, start[:, None] + pos)
-        return gather_lines_per_entry(values2d, eids)
-
-    out_big = jax.lax.cond(n_hub <= hub_capacity, compact_path, full_path,
-                           operand=None)
-    return jnp.where(small, out_small, out_big)
+        hub_capacity = _auto_hub_capacity(s, hub_frac)
+    return gather_hybrid_combined(values2d, start, pos, degrees,
+                                  lines=hybrid_window_lines,
+                                  hub_capacity=hub_capacity)

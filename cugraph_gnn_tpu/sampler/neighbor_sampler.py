@@ -39,7 +39,8 @@ def level_capacities(batch_size: int, fanouts: Sequence[int]) -> List[int]:
 
 def multihop_uniform(key, indptr, indices, seeds, fanouts,
                      dedup: bool = True, indices2d=None,
-                     max_degree: int = None) -> MultihopBatch:
+                     max_degree: int = None,
+                     hub_frac: float = None) -> MultihopBatch:
     """Pure-functional uniform multi-hop sampling with *explicit* graph
     arguments.  Use this form inside larger jitted steps: closing over
     big device arrays embeds them as XLA constants (catastrophic compile
@@ -64,7 +65,8 @@ def multihop_uniform(key, indptr, indices, seeds, fanouts,
         safe = jnp.where(valid_seed, targets, 0)
         out = sample_ops.uniform_sample(hkey, indptr, indices, safe, fanout,
                                         indices2d=indices2d,
-                                        max_degree=max_degree)
+                                        max_degree=max_degree,
+                                        hub_frac=hub_frac)
         vm = valid_seed[:, None]
         out = sample_ops.SampleOutput(
             jnp.where(vm, out.neighbors, -1),
@@ -121,7 +123,16 @@ class NeighborSampler:
         (ref distributed_sampler.py:837-875 __calc_local_seeds_per_call).
         Overflow nodes beyond the budget are dropped (their fanout slots
         become -1 padding)."""
-        from cugraph_gnn_tpu.ops.window_gather import pad_to_lines
+        from cugraph_gnn_tpu.ops.window_gather import (
+            hub_fraction,
+            pad_to_lines,
+        )
+        # Static hub fraction (host stat, free when indptr is host data)
+        # right-sizes the hybrid gather's hub buffer — the per-entry
+        # gather cost scales with the static capacity, not the actual
+        # hub count, so the S//8 default wastes ~3x at power-law shapes.
+        self.hub_frac = (hub_fraction(indptr)
+                         if isinstance(indptr, np.ndarray) else None)
         self.indptr = jnp.asarray(indptr)
         # Edge-value arrays are padded to a 512B-line multiple once at
         # construction so every per-edge read in the hot path can ride
@@ -172,7 +183,8 @@ class NeighborSampler:
         else:
             out = sample_ops.uniform_sample(
                 key, self.indptr, self.indices, safe, fanout,
-                indices2d=ind2d, max_degree=self.max_degree)
+                indices2d=ind2d, max_degree=self.max_degree,
+                hub_frac=self.hub_frac)
         # Mask out padded seeds entirely.
         vm = valid_seed[:, None]
         return sample_ops.SampleOutput(
