@@ -24,6 +24,7 @@ from bench import (  # noqa: E402  (same graph as the headline bench)
 )
 
 ITERS = 100
+REPS = 10   # steps per dispatch (scan) — amortizes the tunnel floor
 
 
 def log(msg):
@@ -46,6 +47,8 @@ def main():
         DEG_CAP).astype(np.int64)
     max_degree = int(deg.max())
     indptr_np = np.concatenate([[0], np.cumsum(deg)]).astype(np.int32)
+    from cugraph_gnn_tpu.ops.window_gather import hub_fraction
+    hub_frac = hub_fraction(indptr_np)
     num_edges = int(indptr_np[-1])
     num_edges_pad = -(-num_edges // 128) * 128
     indptr_j = jnp.asarray(indptr_np)
@@ -70,20 +73,30 @@ def main():
         return multihop_uniform(key, indptr, indices, seeds, FANOUTS,
                                 dedup=False,
                                 indices2d=indices.reshape(-1, 128),
-                                max_degree=max_degree)
+                                max_degree=max_degree, hub_frac=hub_frac)
 
     # Stage jit programs, each threading a dependent scalar accumulator.
-    @jax.jit
-    def stage_sample(acc, key, seeds, indptr, indices):
-        s = sample_fn(key, seeds, indptr, indices)
-        return acc + jnp.sum(s.levels[-1]).astype(jnp.int32)
+    def scan_reps(body):
+        def run(carry, key, *args):
+            def step(c, i):
+                return body(c, jax.random.fold_in(key, i), *args), None
+            carry, _ = jax.lax.scan(step, carry,
+                                    jnp.arange(REPS, dtype=jnp.int32))
+            return carry
+        return jax.jit(run)
 
-    @jax.jit
-    def stage_sample_gather(acc, key, seeds, indptr, indices, feats):
+    stage_sample = scan_reps(
+        lambda acc, key, seeds, indptr, indices: acc + jnp.sum(
+            sample_fn(key, seeds, indptr, indices).levels[-1]
+        ).astype(jnp.int32))
+
+    def _sg(acc, key, seeds, indptr, indices, feats):
         s = sample_fn(key, seeds, indptr, indices)
         inp = s.input_nodes
         x = jnp.where((inp >= 0)[:, None], feats[jnp.clip(inp, 0)], 0)
         return acc + jnp.sum(x).astype(jnp.float32).astype(jnp.int32)
+
+    stage_sample_gather = scan_reps(_sg)
 
     # model-only: fixed sample/x as args (sampling excluded)
     tx = optax.adam(1e-3)
@@ -100,17 +113,19 @@ def main():
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    @jax.jit
-    def stage_model(params, opt_state, acc, key, x, sample, y, seeds):
+    def _sm(carry, key, x, sample, y, seeds):
+        params, opt_state, acc = carry
         # perturb x by key so iterations aren't constant-folded
         xx = x + jax.random.normal(key, (1, x.shape[1]), x.dtype)
         params, opt_state, loss = model_step(params, opt_state, xx, sample,
                                              y, seeds)
         return params, opt_state, acc + loss.astype(jnp.float32)
 
-    @jax.jit
-    def stage_full(params, opt_state, acc, key, seeds, indptr, indices,
-                   feats, labels):
+    stage_model = scan_reps(
+        lambda c, key, x, sample, y, seeds: _sm(c, key, x, sample, y, seeds))
+
+    def _sf(carry, key, seeds, indptr, indices, feats, labels):
+        params, opt_state, acc = carry
         s = sample_fn(key, seeds, indptr, indices)
         inp = s.input_nodes
         x = jnp.where((inp >= 0)[:, None], feats[jnp.clip(inp, 0)], 0)
@@ -118,6 +133,8 @@ def main():
         params, opt_state, loss = model_step(params, opt_state, x, s, y,
                                              seeds)
         return params, opt_state, acc + loss.astype(jnp.float32)
+
+    stage_full = scan_reps(_sf)
 
     key = jax.random.PRNGKey(3)
     seeds0 = jnp.arange(BATCH, dtype=jnp.int32)
@@ -131,12 +148,12 @@ def main():
     log("init done")
 
     def timed(name, loop):
-        # warmup (compile) + differencing
+        # warmup (compile) + differencing; each dispatch runs REPS steps
         loop(2)
         t0 = time.perf_counter(); loop(2); t_small = time.perf_counter() - t0
         t0 = time.perf_counter(); loop(ITERS + 2)
         dt = max(time.perf_counter() - t0 - t_small, 1e-9)
-        log(f"{name}: {1e3 * dt / ITERS:.3f} ms/iter")
+        log(f"{name}: {1e3 * dt / (ITERS * REPS):.3f} ms/iter")
 
     def mk_seed(pk):
         return jax.random.randint(pk, (BATCH,), 0, NUM_NODES, jnp.int32)
@@ -164,7 +181,7 @@ def main():
         for _ in range(n):
             key, sk = jax.random.split(key)
             params, opt_state, acc = stage_model(
-                params, opt_state, acc, sk, x0, s0, y0, seeds0)
+                (params, opt_state, acc), sk, x0, s0, y0, seeds0)
         return float(acc)
 
     def loop_full(n):
@@ -173,7 +190,7 @@ def main():
         for _ in range(n):
             key, sk, pk = jax.random.split(key, 3)
             params, opt_state, acc = stage_full(
-                params, opt_state, acc, sk, mk_seed(pk), indptr_j,
+                (params, opt_state, acc), sk, mk_seed(pk), indptr_j,
                 indices_j, feats, labels)
         return float(acc)
 
