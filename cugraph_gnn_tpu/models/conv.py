@@ -199,22 +199,19 @@ class GATConv(nn.Module):
 
     def full_graph(self, x, fbg):
         """Full-batch attention via the fused slab kernel (SDDMM +
-        softmax + aggregate in one MXU pass per head).  Trainable: the
-        kernel carries a custom VJP whose backward also rides the
-        banded MXU slabs (ops/pallas/slab_attn_grad.py), so full-batch
-        GAT trains end-to-end on the fused path."""
+        softmax + aggregate in one MXU pass over ALL heads — the
+        adjacency reconstruction is amortized across heads).
+        Trainable: the kernel carries a custom VJP whose backward also
+        rides the banded MXU slabs (ops/pallas/slab_attn_grad.py), so
+        full-batch GAT trains end-to-end on the fused path."""
         h, f = self.heads, self.features
         wx = self.lin(x).reshape(x.shape[0], h, f)
         a_n = jnp.sum(wx * self.att_src[0][None], axis=-1)  # (N, H)
         a_d = jnp.sum(wx * self.att_dst[0][None], axis=-1)
-        aggs = [
-            fbg.attention_spmm(
-                wx[:, head, :], a_d[:, head].astype(jnp.float32),
-                a_n[:, head].astype(jnp.float32),
-                negative_slope=self.negative_slope).astype(wx.dtype)
-            for head in range(h)
-        ]
-        return self._out(jnp.stack(aggs, axis=1))
+        agg = fbg.attention_spmm_mh(
+            wx, a_d.astype(jnp.float32), a_n.astype(jnp.float32),
+            negative_slope=self.negative_slope).astype(wx.dtype)
+        return self._out(agg)
 
 
 class GINConv(nn.Module):

@@ -193,6 +193,41 @@ class FullBatchGraph:
                             reduce=reduce, edge_weight=self._weights,
                             indices_are_sorted=True)
 
+    def _diff_attention_mh(self, negative_slope: float):
+        key = ("mh", negative_slope)
+        if key not in self._diff_attn:
+            if self._attn_pair is None:
+                from cugraph_gnn_tpu.ops.pallas.slab_attn_grad import (
+                    build_attention_slab_pair)
+                self._attn_pair = build_attention_slab_pair(
+                    np.asarray(self._indptr), np.asarray(self._indices),
+                    block_rows=self._block_rows, max_k=self._max_k)
+            from cugraph_gnn_tpu.ops.pallas.slab_attn_grad import (
+                differentiable_slab_attention_mh)
+            self._diff_attn[key] = differentiable_slab_attention_mh(
+                self._attn_pair, negative_slope=negative_slope)
+        return self._diff_attn[key]
+
+    def attention_spmm_mh(self, x, alpha_dst, alpha_src, *,
+                          negative_slope: float = 0.2):
+        """Multi-head fused attention aggregate: x (N, H, F),
+        alpha_dst/alpha_src (N, H) -> (N, H, F) f32.  On the slab path
+        all H heads run in ONE kernel pass per direction (forward and
+        backward), amortizing the adjacency reconstruction; heads
+        beyond the packed-lane budget (or off the slab path) fall back
+        to the per-head single-head calls."""
+        from cugraph_gnn_tpu.ops.pallas.slab_attn_grad import (
+            MAX_PACKED_HEADS)
+        heads = x.shape[1]
+        if self.use_slab and heads <= MAX_PACKED_HEADS:
+            return self._diff_attention_mh(negative_slope)(
+                x, alpha_dst, alpha_src)
+        return jnp.stack([
+            self.attention_spmm(x[:, h], alpha_dst[:, h], alpha_src[:, h],
+                                negative_slope=negative_slope)
+            for h in range(heads)
+        ], axis=1)
+
     def attention_spmm(self, x, alpha_dst, alpha_src, *,
                        negative_slope: float = 0.2):
         """Fused GAT attention aggregate (see slab_attention_spmm),

@@ -281,6 +281,224 @@ def slab_attention_bwd(pair: AttnSlabPair, x, alpha_dst, alpha_src,
     return dx_b, dad_b, das_b
 
 
+# ---------------------------------------------------------------------------
+# Multi-head: all H heads in one kernel pass.  Per-head stats pack into
+# lanes of one 128-lane array (5 stats x H heads -> H <= 25): lane layout
+# slot*H + h for slot in (AD, M, S, T, AS).
+# ---------------------------------------------------------------------------
+
+MAX_PACKED_HEADS = 25
+
+
+def _mh_cnt(idx, r_blk, k_width):
+    iota = jax.lax.broadcasted_iota(jnp.int32, (r_blk, 3 * r_blk), 1)
+    cnt = jnp.zeros((r_blk, 3 * r_blk), jnp.float32)
+    for k in range(k_width):
+        cnt = cnt + jnp.where(iota == idx[:, k][:, None], 1.0, 0.0)
+    return cnt
+
+
+def _bwd_dst_kernel_mh(k_width, heads, f, negative_slope, ell_ref, st_blk,
+                       st0, st1, st2, g_ref, x0, x1, x2, dad_ref):
+    idx = ell_ref[...]
+    r_blk = idx.shape[0]
+    slab_x = jnp.concatenate([x0[...], x1[...], x2[...]], axis=0)   # (3R,H*F)
+    st_s = jnp.concatenate([st0[...], st1[...], st2[...]], axis=0)
+    st_t = jnp.transpose(st_s, (1, 0))                              # (128,3R)
+    cnt = _mh_cnt(idx, r_blk, k_width)
+    has_edge = cnt > 0
+    ninf = jnp.float32(-jnp.inf)
+    g = g_ref[...].astype(jnp.float32)
+    dads = []
+    for h in range(heads):
+        blk = st_blk[...]
+        ad = blk[:, 0 * heads + h:0 * heads + h + 1]                # (R, 1)
+        m = blk[:, 1 * heads + h:1 * heads + h + 1]
+        s = blk[:, 2 * heads + h:2 * heads + h + 1]
+        t = blk[:, 3 * heads + h:3 * heads + h + 1]
+        as_row = st_t[4 * heads + h:4 * heads + h + 1]              # (1, 3R)
+        z = ad + as_row                                             # (R, 3R)
+        e = jnp.where(z >= 0, z, jnp.float32(negative_slope) * z)
+        e = jnp.where(has_edge, e, ninf)
+        alpha = cnt * jnp.exp(e - m) / s
+        gx = jax.lax.dot_general(
+            g[:, h * f:(h + 1) * f],
+            slab_x[:, h * f:(h + 1) * f].astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                     # (R, 3R)
+        dz = jnp.where(z >= 0, 1.0, jnp.float32(negative_slope))
+        de = alpha * (gx - t) * dz
+        dads.append(jnp.sum(de, axis=1, keepdims=True))
+    pad = jnp.zeros((r_blk, 128 - heads), jnp.float32)
+    dad_ref[...] = jnp.concatenate(dads + [pad], axis=1)
+
+
+def _bwd_src_kernel_mh(k_width, heads, f, negative_slope, ell_ref, st_blk,
+                       st0, st1, st2, x_ref, g0, g1, g2, dx_ref, das_ref):
+    idx = ell_ref[...]
+    r_blk = idx.shape[0]
+    slab_g = jnp.concatenate([g0[...], g1[...], g2[...]], axis=0)   # (3R,H*F)
+    st_s = jnp.concatenate([st0[...], st1[...], st2[...]], axis=0)
+    st_t = jnp.transpose(st_s, (1, 0))                              # (128,3R)
+    cnt = _mh_cnt(idx, r_blk, k_width)
+    has_edge = cnt > 0
+    ninf = jnp.float32(-jnp.inf)
+    x = x_ref[...].astype(jnp.float32)
+    dxs, dass = [], []
+    for h in range(heads):
+        blk = st_blk[...]
+        as_col = blk[:, 4 * heads + h:4 * heads + h + 1]            # (R, 1)
+        ad_row = st_t[0 * heads + h:0 * heads + h + 1]              # (1, 3R)
+        m_row = st_t[1 * heads + h:1 * heads + h + 1]
+        s_row = st_t[2 * heads + h:2 * heads + h + 1]
+        t_row = st_t[3 * heads + h:3 * heads + h + 1]
+        z = as_col + ad_row                                         # (R, 3R)
+        e = jnp.where(z >= 0, z, jnp.float32(negative_slope) * z)
+        e = jnp.where(has_edge, e, ninf)
+        alpha_t = cnt * jnp.exp(e - m_row) / s_row
+        gh = slab_g[:, h * f:(h + 1) * f].astype(jnp.float32)
+        dxs.append(jnp.dot(alpha_t, gh,
+                           preferred_element_type=jnp.float32))     # (R, F)
+        gx_t = jax.lax.dot_general(
+            x[:, h * f:(h + 1) * f], gh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                     # (R, 3R)
+        dz = jnp.where(z >= 0, 1.0, jnp.float32(negative_slope))
+        de_t = alpha_t * (gx_t - t_row) * dz
+        dass.append(jnp.sum(de_t, axis=1, keepdims=True))
+    pad = jnp.zeros((r_blk, 128 - heads), jnp.float32)
+    dx_ref[...] = jnp.concatenate(dxs, axis=1)
+    das_ref[...] = jnp.concatenate(dass + [pad], axis=1)
+
+
+def slab_attention_bwd_mh(pair: AttnSlabPair, x, alpha_dst, alpha_src,
+                          m, s, t, g, *, negative_slope: float = 0.2,
+                          interpret=None):
+    """Multi-head backward: x/g (N, H, F); alpha_*/m/s/t (N, H).
+    Returns (dx (N,H,F), dalpha_dst (N,H), dalpha_src (N,H)).
+    H <= MAX_PACKED_HEADS (5 packed stat lanes per head)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    graph = pair.fwd
+    n, heads, f = x.shape
+    if heads > MAX_PACKED_HEADS:
+        raise ValueError(f"slab_attention_bwd_mh supports "
+                         f"<={MAX_PACKED_HEADS} heads, got {heads}")
+    r_blk = graph.block_rows
+    nb = graph.n_blocks
+    n_pad = nb * r_blk
+    s_safe = jnp.maximum(s, 1e-16)
+    stats = jnp.zeros((n, 128), jnp.float32)
+    for slot, v in ((0, alpha_dst), (1, m), (2, s_safe), (3, t),
+                    (4, alpha_src)):
+        stats = jax.lax.dynamic_update_slice(
+            stats, v.astype(jnp.float32), (0, slot * heads))
+    st_pad = _pad_rows(stats, r_blk, n_pad)
+    # S lanes must stay nonzero in padding rows (divisor)
+    ones = jnp.ones((1, heads), jnp.float32)
+    st_pad = jax.lax.dynamic_update_slice(
+        st_pad, jnp.broadcast_to(ones, (r_blk, heads)), (0, 2 * heads))
+    st_pad = jax.lax.dynamic_update_slice(
+        st_pad, jnp.broadcast_to(ones, (r_blk + n_pad - n, heads)),
+        (r_blk + n, 2 * heads))
+    hf = heads * f
+    x_pad = _pad_rows(x.reshape(n, hf).astype(jnp.float32), r_blk, n_pad)
+    g_pad = _pad_rows(g.reshape(n, hf).astype(jnp.float32), r_blk, n_pad)
+
+    k_f = graph.ell.shape[1]
+    k_t = pair.t_ell.shape[1]
+    blk_spec = lambda width: pl.BlockSpec((r_blk, width), lambda b: (b + 1, 0))
+    slab_specs = lambda width: [
+        pl.BlockSpec((r_blk, width), lambda b, o=o: (b + o, 0))
+        for o in range(3)]
+    ell_spec = lambda width: pl.BlockSpec((r_blk, width), lambda b: (b, 0))
+    out_spec = lambda width: pl.BlockSpec((r_blk, width), lambda b: (b, 0))
+
+    dad_b = pl.pallas_call(
+        functools.partial(_bwd_dst_kernel_mh, k_f, heads, f, negative_slope),
+        grid=(nb,),
+        in_specs=[ell_spec(k_f), blk_spec(128)] + slab_specs(128)
+        + [blk_spec(hf)] + slab_specs(hf),
+        out_specs=out_spec(128),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
+        interpret=interpret,
+    )(graph.ell, st_pad, st_pad, st_pad, st_pad, g_pad,
+      x_pad, x_pad, x_pad)[:n, :heads]
+
+    dx_b, das_b = pl.pallas_call(
+        functools.partial(_bwd_src_kernel_mh, k_t, heads, f, negative_slope),
+        grid=(nb,),
+        in_specs=[ell_spec(k_t), blk_spec(128)] + slab_specs(128)
+        + [blk_spec(hf)] + slab_specs(hf),
+        out_specs=[out_spec(hf), out_spec(128)],
+        out_shape=[jax.ShapeDtypeStruct((n_pad, hf), jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad, 128), jnp.float32)],
+        interpret=interpret,
+    )(pair.t_ell, st_pad, st_pad, st_pad, st_pad, x_pad,
+      g_pad, g_pad, g_pad)
+    dx_b = dx_b[:n].reshape(n, heads, f)
+    das_b = das_b[:n, :heads]
+
+    src, dst = graph.fb_src, graph.fb_dst
+    if src.shape[0]:
+        valid = (src >= 0) & (dst >= 0)
+        sv = jnp.where(valid, src, 0)
+        dv = jnp.where(valid, dst, 0)
+        seg_d = jnp.where(valid, dst, n)
+        seg_s = jnp.where(valid, src, n)
+        ad32 = alpha_dst.astype(jnp.float32)
+        as32 = alpha_src.astype(jnp.float32)
+        z = ad32[dv] + as32[sv]                                     # (E, H)
+        lr = jnp.where(z >= 0, z, jnp.float32(negative_slope) * z)
+        a_e = jnp.where(valid[:, None],
+                        jnp.exp(lr - m[dv]) / s_safe[dv], 0.0)
+        g32 = g.astype(jnp.float32)
+        x32 = x.astype(jnp.float32)
+        gx_e = jnp.sum(g32[dv] * x32[sv], axis=-1)                  # (E, H)
+        dz = jnp.where(z >= 0, 1.0, jnp.float32(negative_slope))
+        de = a_e * (gx_e - t[dv]) * dz
+        dx_b = dx_b + jax.ops.segment_sum(
+            a_e[..., None] * g32[dv], seg_s, num_segments=n + 1)[:n]
+        dad_b = dad_b + jax.ops.segment_sum(
+            de, seg_d, num_segments=n + 1)[:n]
+        das_b = das_b + jax.ops.segment_sum(
+            de, seg_s, num_segments=n + 1)[:n]
+    return dx_b, dad_b, das_b
+
+
+def differentiable_slab_attention_mh(pair: AttnSlabPair, *,
+                                     negative_slope: float = 0.2):
+    """Multi-head differentiable fused attention:
+    f(x (N,H,F), alpha_dst (N,H), alpha_src (N,H)) -> (N, H, F) f32.
+    Forward and backward each run ONE kernel pass over all heads
+    (adjacency reconstruction amortized; per-head stats in packed
+    lanes).  H <= MAX_PACKED_HEADS."""
+    from cugraph_gnn_tpu.ops.pallas.slab_kernel import slab_attention_spmm_mh
+
+    @jax.custom_vjp
+    def f(x, alpha_dst, alpha_src):
+        return slab_attention_spmm_mh(pair.fwd, x, alpha_dst, alpha_src,
+                                      negative_slope=negative_slope)
+
+    def fwd(x, alpha_dst, alpha_src):
+        out, m, s = slab_attention_spmm_mh(pair.fwd, x, alpha_dst, alpha_src,
+                                           negative_slope=negative_slope,
+                                           return_stats=True)
+        return out, (x, alpha_dst, alpha_src, out, m, s)
+
+    def bwd(res, g):
+        x, alpha_dst, alpha_src, out, m, s = res
+        t = jnp.sum(g.astype(jnp.float32) * out, axis=-1)           # (N, H)
+        dx, dad, das = slab_attention_bwd_mh(
+            pair, x, alpha_dst, alpha_src, m, s, t, g,
+            negative_slope=negative_slope)
+        return (dx.astype(x.dtype), dad.astype(alpha_dst.dtype),
+                das.astype(alpha_src.dtype))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def differentiable_slab_attention(pair: AttnSlabPair, *,
                                   negative_slope: float = 0.2):
     """Returns f(x, alpha_dst, alpha_src) -> (N, F) f32: the fused slab

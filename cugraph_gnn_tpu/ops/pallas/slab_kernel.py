@@ -229,6 +229,130 @@ def _slab_attn_kernel(k_width: int, negative_slope: float, compute_dtype,
     s_ref[...] = jnp.broadcast_to(s, s_ref.shape)
 
 
+def _slab_attn_mh_kernel(k_width: int, heads: int, f: int,
+                         negative_slope: float, compute_dtype,
+                         ell_ref, ad_ref, as0, as1, as2, x0, x1, x2,
+                         u_ref, m_ref, s_ref):
+    """Multi-head variant: the one-hot adjacency (the VPU-expensive
+    part) is built ONCE per block and reused by every head; per-head
+    scores/stats live in lanes of 128-lane packed arrays."""
+    idx = ell_ref[...]                                   # (R, K)
+    r_blk = idx.shape[0]
+    slab = jnp.concatenate([x0[...], x1[...], x2[...]], axis=0)   # (3R, H*F)
+    a_s = jnp.concatenate([as0[...], as1[...], as2[...]], axis=0)  # (3R, 128)
+    as_t = jnp.transpose(a_s, (1, 0))                    # (128, 3R)
+    ad = ad_ref[...]                                     # (R, 128) lane h
+    iota = jax.lax.broadcasted_iota(jnp.int32, (r_blk, 3 * r_blk), 1)
+    cnt = jnp.zeros((r_blk, 3 * r_blk), jnp.float32)
+    for k in range(k_width):
+        cnt = cnt + jnp.where(iota == idx[:, k][:, None], 1.0, 0.0)
+    has_edge = cnt > 0
+    ninf = jnp.float32(-jnp.inf)
+    us, ms, ss = [], [], []
+    for h in range(heads):
+        e = ad[:, h:h + 1] + as_t[h:h + 1]               # (R, 3R)
+        e = jnp.where(e >= 0, e, jnp.float32(negative_slope) * e)
+        e = jnp.where(has_edge, e, ninf)
+        m = jnp.max(e, axis=1, keepdims=True)            # (R, 1)
+        m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+        p = jnp.where(has_edge, cnt * jnp.exp(e - m_safe), 0.0)
+        ss.append(jnp.sum(p, axis=1, keepdims=True))
+        ms.append(m_safe)
+        us.append(jnp.dot(
+            p.astype(compute_dtype),
+            slab[:, h * f:(h + 1) * f].astype(compute_dtype),
+            preferred_element_type=jnp.float32))
+    u_ref[...] = jnp.concatenate(us, axis=1)
+    pad = jnp.zeros((r_blk, 128 - heads), jnp.float32)
+    m_ref[...] = jnp.concatenate(ms + [pad], axis=1)
+    s_ref[...] = jnp.concatenate(ss + [pad], axis=1)
+
+
+def slab_attention_spmm_mh(graph: SlabGraph, x, alpha_dst, alpha_src, *,
+                           negative_slope: float = 0.2,
+                           compute_dtype=jnp.float32,
+                           interpret: Optional[bool] = None,
+                           return_stats: bool = False):
+    """Multi-head fused attention aggregate: all H heads in ONE kernel
+    pass (adjacency reconstruction amortized across heads, single
+    dispatch).  x: (N, H, F); alpha_dst/alpha_src: (N, H).  Returns
+    (N, H, F) f32 (+ per-head merged softmax stats (m, s), each (N, H),
+    with ``return_stats``).  H <= 128."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, heads, f = x.shape
+    if heads > 128:
+        raise ValueError(f"slab_attention_spmm_mh supports <=128 heads, "
+                         f"got {heads}")
+    r_blk = graph.block_rows
+    nb = graph.n_blocks
+    n_pad = nb * r_blk
+    x2 = x.reshape(n, heads * f)
+    x_pad = jnp.zeros((n_pad + 2 * r_blk, heads * f), x.dtype)
+    x_pad = jax.lax.dynamic_update_slice(x_pad, x2, (r_blk, 0))
+    ninf = jnp.float32(-jnp.inf)
+    as_pad = jnp.full((n_pad + 2 * r_blk, 128), ninf, jnp.float32)
+    as_pad = jax.lax.dynamic_update_slice(
+        as_pad, alpha_src.astype(jnp.float32), (r_blk, 0))
+    ad_pad = jnp.zeros((n_pad, 128), jnp.float32)
+    ad_pad = jax.lax.dynamic_update_slice(
+        ad_pad, alpha_dst.astype(jnp.float32), (0, 0))
+
+    k_w = graph.ell.shape[1]
+    kern = functools.partial(_slab_attn_mh_kernel, k_w, heads, f,
+                             negative_slope, compute_dtype)
+    hf = heads * f
+    ell_spec = pl.BlockSpec((r_blk, k_w), lambda b: (b, 0))
+    ad_spec = pl.BlockSpec((r_blk, 128), lambda b: (b, 0))
+    as_specs = [pl.BlockSpec((r_blk, 128), lambda b, o=o: (b + o, 0))
+                for o in range(3)]
+    x_specs = [pl.BlockSpec((r_blk, hf), lambda b, o=o: (b + o, 0))
+               for o in range(3)]
+    u, m_b, s_b = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[ell_spec, ad_spec] + as_specs + x_specs,
+        out_specs=[pl.BlockSpec((r_blk, hf), lambda b: (b, 0)),
+                   pl.BlockSpec((r_blk, 128), lambda b: (b, 0)),
+                   pl.BlockSpec((r_blk, 128), lambda b: (b, 0))],
+        out_shape=[jax.ShapeDtypeStruct((n_pad, hf), jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad, 128), jnp.float32)],
+        interpret=interpret,
+    )(graph.ell, ad_pad, as_pad, as_pad, as_pad, x_pad, x_pad, x_pad)
+    u = u[:n].reshape(n, heads, f)
+    m_b, s_b = m_b[:n, :heads], s_b[:n, :heads]
+    m_out = m_b
+
+    src, dst = graph.fb_src, graph.fb_dst
+    if src.shape[0]:
+        valid = (src >= 0) & (dst >= 0)
+        sv = jnp.where(valid, src, 0)
+        dv = jnp.where(valid, dst, n)
+        d0 = jnp.where(valid, dst, 0)
+        e_fb = (alpha_dst.astype(jnp.float32)[d0]
+                + alpha_src.astype(jnp.float32)[sv])       # (E, H)
+        e_fb = jnp.where(e_fb >= 0, e_fb, jnp.float32(negative_slope) * e_fb)
+        e_fb = jnp.where(valid[:, None], e_fb, ninf)
+        m_f_seg = jax.ops.segment_max(e_fb, dv, num_segments=n + 1)[:n]
+        m_f = jnp.where(jnp.isfinite(m_f_seg), m_f_seg, 0.0)
+        p_fb = jnp.where(valid[:, None], jnp.exp(e_fb - m_f[d0]), 0.0)
+        s_f = jax.ops.segment_sum(p_fb, dv, num_segments=n + 1)[:n]
+        u_f = jax.ops.segment_sum(
+            p_fb[:, :, None] * x.astype(jnp.float32)[sv], dv,
+            num_segments=n + 1)[:n]
+        m = jnp.maximum(m_b, m_f)
+        wb = jnp.where(s_b > 0, jnp.exp(m_b - m), 0.0)
+        wf = jnp.where(s_f > 0, jnp.exp(m_f - m), 0.0)
+        u = u * wb[..., None] + u_f * wf[..., None]
+        s_b = s_b * wb + s_f * wf
+        m_out = m
+    out = u / jnp.maximum(s_b, 1e-16)[..., None]
+    if return_stats:
+        return out, m_out, s_b
+    return out
+
+
 def slab_attention_spmm(graph: SlabGraph, x, alpha_dst, alpha_src, *,
                         negative_slope: float = 0.2,
                         compute_dtype=jnp.float32,

@@ -110,6 +110,77 @@ def test_attn_pair_partitions_all_edges():
     assert f_edges == t_edges
 
 
+def _check_mh(n, f, heads, src, dst, block_rows, max_k, seed, tol=2e-4):
+    """Multi-head fused path == stacked single-head paths == autodiff
+    of the segment reference, forward and all three gradients."""
+    from cugraph_gnn_tpu.ops.pallas.slab_attn_grad import (
+        differentiable_slab_attention_mh)
+    indptr, indices, _ = build_csr(dst, src, n)
+    pair = build_attention_slab_pair(indptr, indices, block_rows=block_rows,
+                                     max_k=max_k)
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((n, heads, f)).astype(np.float32))
+    a_d = jnp.asarray(rng.standard_normal((n, heads)).astype(np.float32))
+    a_s = jnp.asarray(rng.standard_normal((n, heads)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((n, heads, f)).astype(np.float32))
+
+    fn_mh = differentiable_slab_attention_mh(pair)
+    fn_sh = differentiable_slab_attention(pair)
+    ref1 = _ref_attention(indptr, indices)
+
+    out_mh = fn_mh(x, a_d, a_s)
+    for h in range(heads):
+        np.testing.assert_allclose(
+            np.asarray(out_mh[:, h]),
+            np.asarray(fn_sh(x[:, h], a_d[:, h], a_s[:, h])),
+            rtol=tol, atol=tol, err_msg=f"fwd head {h}")
+
+    loss = lambda fn: lambda *a: jnp.sum(fn(*a) * g)
+    got = jax.grad(loss(fn_mh), argnums=(0, 1, 2))(x, a_d, a_s)
+    ref_stack = lambda x, a_d, a_s: jnp.stack(
+        [ref1(x[:, h], a_d[:, h], a_s[:, h]) for h in range(heads)], axis=1)
+    want = jax.grad(loss(ref_stack), argnums=(0, 1, 2))(x, a_d, a_s)
+    for gi, wi, name in zip(got, want, ("dx", "dalpha_dst", "dalpha_src")):
+        np.testing.assert_allclose(np.asarray(gi), np.asarray(wi),
+                                   rtol=tol, atol=tol, err_msg=name)
+    return pair
+
+
+def test_attn_mh_band_only():
+    rng = np.random.default_rng(20)
+    n = 384
+    src, dst = make_graph(n, 5, 50, rng)
+    pair = _check_mh(n, 16, 4, src, dst, block_rows=128, max_k=16, seed=2)
+    assert pair.fwd.band_fraction > 0.9
+
+
+def test_attn_mh_mixed_band_fallback():
+    rng = np.random.default_rng(21)
+    n = 500
+    src, dst = make_graph(n, 6, 90, rng, frac_far=0.25)
+    hub_dst = np.clip(250 + rng.integers(-90, 91, 40), 0, n - 1).astype(
+        np.int32)
+    src = np.concatenate([src, np.full(40, 250, np.int32)])
+    dst = np.concatenate([dst, hub_dst])
+    pair = _check_mh(n, 8, 8, src, dst, block_rows=128, max_k=8, seed=3)
+    assert 0.0 < pair.fwd.band_fraction < 1.0
+
+
+def test_attn_mh_head_cap():
+    from cugraph_gnn_tpu.ops.pallas.slab_attn_grad import (
+        MAX_PACKED_HEADS, slab_attention_bwd_mh)
+    rng = np.random.default_rng(22)
+    n, f, h = 128, 4, MAX_PACKED_HEADS + 1
+    src, dst = make_graph(n, 3, 20, rng)
+    indptr, indices, _ = build_csr(dst, src, n)
+    pair = build_attention_slab_pair(indptr, indices, block_rows=128)
+    z = jnp.zeros
+    with pytest.raises(ValueError, match="heads"):
+        slab_attention_bwd_mh(pair, z((n, h, f)), z((n, h)), z((n, h)),
+                              z((n, h)), jnp.ones((n, h)), z((n, h)),
+                              z((n, h, f)))
+
+
 def test_attn_grad_under_jit():
     rng = np.random.default_rng(13)
     n, f = 256, 32
