@@ -140,6 +140,13 @@ class SamplingGraph:
     etypes: List[EdgeType]
     csr_by_etype: Dict[EdgeType, Tuple[jnp.ndarray, jnp.ndarray, int]]
     max_degree_by_etype: Dict[EdgeType, int]
+    # CSR position -> input COO position, per edge type (host-side).
+    # Sampled edge ids are CSR positions (+ edge_base); edge attributes
+    # given in input order convert once via edge_attr_to_csr_order
+    # (the analog of the reference's edge property tensors looked up by
+    # e_id, ref rgcn_link_class_mnmg.py edge_feature_store[...,'rel']).
+    edge_perm_by_etype: Dict[EdgeType, np.ndarray] = dataclasses.field(
+        default_factory=dict)
 
     @staticmethod
     def build(store: GraphStore) -> "SamplingGraph":
@@ -147,6 +154,7 @@ class SamplingGraph:
         total = store.num_nodes()
         csrs = {}
         maxdeg = {}
+        perms = {}
         edge_base = 0
         for et in store.edge_types:
             st, _, dt = et
@@ -164,13 +172,21 @@ class SamplingGraph:
                         jnp.asarray(pad_to_lines(
                             np.asarray(indices, np.int32))),
                         edge_base)
+            perms[et] = np.asarray(perm)
             deg = indptr[1:] - indptr[:-1]
             maxdeg[et] = int(deg.max(initial=0))
             edge_base += len(e.src)
         return SamplingGraph(
             num_nodes_total=total, node_offsets=offsets,
             etypes=store.edge_types, csr_by_etype=csrs,
-            max_degree_by_etype=maxdeg)
+            max_degree_by_etype=maxdeg, edge_perm_by_etype=perms)
+
+    def edge_attr_to_csr_order(self, et: EdgeType, attr):
+        """Reorder an input-COO-order edge attribute so sampled edge
+        ids (CSR position + edge_base) index it directly.  One-time
+        host work at load, like the reference's edge property tensor
+        construction (ref data/graph_store.py:263-631)."""
+        return jnp.asarray(np.asarray(attr)[self.edge_perm_by_etype[et]])
 
     @property
     def is_homogeneous(self) -> bool:

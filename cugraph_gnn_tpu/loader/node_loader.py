@@ -276,12 +276,6 @@ def build_neighbor_sampler(feature_store, graph_store, num_neighbors,
 
 def _edge_attr_to_csr_order(graph_store: GraphStore, graph, et, attr):
     """Edge attributes are stored in COO input order; the CSR edge id is
-    its position after the sort — re-order once at load."""
-    src, dst = graph_store.get_edge_index(et)
-    total = graph.num_nodes_total
-    st, _, dt = et
-    gsrc = np.asarray(src).astype(np.int64) + graph.node_offsets[st]
-    gdst = np.asarray(dst).astype(np.int64) + graph.node_offsets[dt]
-    from cugraph_gnn_tpu.native import build_csr
-    _, _, perm = build_csr(gdst, gsrc, total)
-    return jnp.asarray(np.asarray(attr)[perm])
+    its position after the sort — re-order once at load (the graph
+    retains each edge type's sort permutation)."""
+    return graph.edge_attr_to_csr_order(et, attr)

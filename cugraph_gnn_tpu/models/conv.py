@@ -295,6 +295,20 @@ class RGCNConv(nn.Module):
             out = out + self.lin_rel[r](agg)
         return out
 
+    def edgewise(self, x_dst, x_neigh, mask, edge_type):
+        """Per-EDGE relation ids instead of per-relation blocks: the
+        reference's FastRGCNConv consumption pattern over a homogeneous
+        graph with an edge-type attribute (ref
+        examples/rgcn_link_class_mnmg.py — relation looked up by the
+        sampled batch's e_id).  edge_type: (S, k) int32 aligned with
+        x_neigh/mask."""
+        out = self.lin_root(x_dst)
+        for r in range(self.num_relations):
+            sel = mask & (edge_type == r)
+            agg = fanout_aggregate(x_neigh, sel, self.aggr)
+            out = out + self.lin_rel[r](agg)
+        return out
+
     def full(self, x, src, dst, edge_type, num_nodes: int):
         out = self.lin_root(x[:num_nodes])
         for r in range(self.num_relations):

@@ -48,6 +48,13 @@ def test_rgcn_hetero_example():
                  "--num-insts", "20"])
 
 
+def test_kg_link_class_example():
+    run_example("kg_link_class.py",
+                ["--epochs", "1", "--batch-size", "64",
+                 "--neighbors", "3,3", "--num-entities", "300",
+                 "--num-edges", "1500"])
+
+
 def test_multichip_example():
     run_example("multichip_training.py",
                 ["--devices", "8", "--epochs", "1", "--num-nodes", "512",
