@@ -34,70 +34,73 @@ def main():
     def make():
         feats = jax.random.normal(
             jax.random.PRNGKey(1), (NUM_NODES, FEAT_DIM), jnp.bfloat16)
-        return feats
+        return feats, feats.astype(jnp.float32)
 
-    feats = jax.block_until_ready(make())
-    feats32 = jax.jit(lambda f: f.astype(jnp.float32))(feats)
+    feats, feats32 = jax.block_until_ready(make())
     log("data ready")
 
     def scan_reps(body):
-        def run(acc, key):
+        # feats passed as an ARGUMENT (a closure would embed a 600MB
+        # constant -> minutes through the tunnel)
+        def run(acc, key, f):
             def step(c, i):
                 ids = jax.random.randint(
                     jax.random.fold_in(key, i), (NUM_IDS,), -1, NUM_NODES,
                     jnp.int32)
-                return c + body(ids), None
+                return c + body(ids, f), None
             c, _ = jax.lax.scan(step, acc, jnp.arange(REPS, dtype=jnp.int32))
             return c
         return jax.jit(run)
 
-    f = feats
-
     variants = {
         # ids only (gather excluded): baseline for the scan + randint cost
-        "ids-only           ": lambda ids: jnp.sum(ids).astype(jnp.float32),
+        "ids-only           ": (
+            lambda ids, f: jnp.sum(ids).astype(jnp.float32), feats),
         # current formulation in bench.py train_step
-        "where+clip (bench) ": lambda ids: jnp.sum(
-            jnp.where((ids >= 0)[:, None], f[jnp.clip(ids, 0)], 0)
-        ).astype(jnp.float32),
+        "where+clip (bench) ": (
+            lambda ids, f: jnp.sum(
+                jnp.where((ids >= 0)[:, None], f[jnp.clip(ids, 0)], 0)
+            ).astype(jnp.float32), feats),
         # raw clip gather, no mask epilogue
-        "clip only          ": lambda ids: jnp.sum(
-            f[jnp.clip(ids, 0)]).astype(jnp.float32),
+        "clip only          ": (
+            lambda ids, f: jnp.sum(f[jnp.clip(ids, 0)]).astype(jnp.float32),
+            feats),
         # one-pass fill-mode gather (OOB -> 0); pads are -1 (OOB)
-        "take mode=fill     ": lambda ids: jnp.sum(
-            f.at[ids].get(mode="fill", fill_value=0,
-                          indices_are_sorted=False, unique_indices=False)
-        ).astype(jnp.float32),
+        "take mode=fill     ": (
+            lambda ids, f: jnp.sum(
+                f.at[ids].get(mode="fill", fill_value=0)
+            ).astype(jnp.float32), feats),
         # f32 table (rows 512B): is the wall bytes or rows?
-        "clip f32 table     ": lambda ids: jnp.sum(
-            feats32[jnp.clip(ids, 0)]).astype(jnp.float32),
+        "clip f32 table     ": (
+            lambda ids, f: jnp.sum(f[jnp.clip(ids, 0)]).astype(jnp.float32),
+            feats32),
         # bitcast trick: view bf16 (N,128) as i32 (N,64), gather, view back
-        "clip i32-view      ": lambda ids: jnp.sum(
-            jax.lax.bitcast_convert_type(
+        "clip i32-view      ": (
+            lambda ids, f: jnp.sum(
                 jax.lax.bitcast_convert_type(
-                    f.reshape(NUM_NODES, 64, 2), jnp.int32
-                )[jnp.clip(ids, 0)],
-                jnp.bfloat16).reshape(NUM_IDS, FEAT_DIM)
-        ).astype(jnp.float32),
-        # sorted gather: sort ids, gather, unsort (locality probe)
-        "sort+gather+unsort ": lambda ids: jnp.sum(
-            jnp.take_along_axis(
-                f[jnp.clip(jnp.sort(ids), 0)],
-                jnp.zeros((NUM_IDS, 1), jnp.int32), axis=1)
-        ).astype(jnp.float32),
+                    jax.lax.bitcast_convert_type(
+                        f.reshape(NUM_NODES, 64, 2), jnp.int32
+                    )[jnp.clip(ids, 0)],
+                    jnp.bfloat16).reshape(NUM_IDS, FEAT_DIM)
+            ).astype(jnp.float32), feats),
+        # sorted gather (locality probe): sort ids, gather, sum (unsort
+        # not needed for the sum; measures best-case sorted row access)
+        "sort ids + gather  ": (
+            lambda ids, f: jnp.sum(
+                f[jnp.clip(jnp.sort(ids), 0)]).astype(jnp.float32), feats),
     }
 
     key = jax.random.PRNGKey(0)
 
-    for name, body in variants.items():
+    for name, (body, table) in variants.items():
         prog = scan_reps(body)
 
-        def loop(n, prog=prog):
+        def loop(n, prog=prog, table=table):
             nonlocal key
             acc = jnp.zeros((), jnp.float32)
             for _ in range(n):
                 key, sk = jax.random.split(key)
-                acc = prog(acc, sk)
+                acc = prog(acc, sk, table)
             return float(acc)
 
         loop(2)

@@ -137,6 +137,69 @@ def main():
     timed("slab attn bwd ", run_attn_bwd,
           (ell, t_ell, x, a_d, a_s, m_st, s_st, t_st, gout))
 
+    # -- multi-head: all H heads in one kernel pass vs a per-head loop.
+    # H * FH = F keeps total feature bytes identical, so the delta is
+    # pure amortization of the one-hot adjacency build + dispatches.
+    H = 4
+    FH = F // H
+    from cugraph_gnn_tpu.ops.pallas.slab_kernel import slab_attention_spmm_mh
+    from cugraph_gnn_tpu.ops.pallas.slab_attn_grad import (
+        slab_attention_bwd_mh)
+
+    @jax.jit
+    def make_mh():
+        k = jax.random.PRNGKey(9)
+        ks = jax.random.split(k, 5)
+        return (jax.random.normal(ks[0], (N, H), jnp.float32),
+                jax.random.normal(ks[1], (N, H), jnp.float32),
+                jax.random.normal(ks[2], (N, H), jnp.float32),
+                jax.random.uniform(ks[3], (N, H), jnp.float32, 1.0, 8.0),
+                jax.random.normal(ks[4], (N, H), jnp.float32))
+
+    ad_h, as_h, m_h, s_h, t_h = jax.block_until_ready(make_mh())
+
+    def run_attn_mh(g_ell, g_x, ad, asx):
+        gg = g._replace(ell=g_ell)
+        out = slab_attention_spmm_mh(gg, g_x.reshape(N, H, FH), ad, asx,
+                                     interpret=False)
+        return out.reshape(N, F)
+
+    def run_attn_headloop(g_ell, g_x, ad, asx):
+        gg = g._replace(ell=g_ell)
+        xh = g_x.reshape(N, H, FH)
+        return jnp.concatenate(
+            [slab_attention_spmm(gg, xh[:, h], ad[:, h], asx[:, h],
+                                 interpret=False) for h in range(H)],
+            axis=1)
+
+    timed("attn mh(4) fused", run_attn_mh, (ell, x, ad_h, as_h))
+    timed("attn mh(4) loop ", run_attn_headloop, (ell, x, ad_h, as_h))
+
+    def run_attn_bwd_mh(g_ell, g_tell, g_x, ad, asx, gm, gs, gt, gg_out):
+        pair = AttnSlabPair(fwd=g._replace(ell=g_ell), t_ell=g_tell)
+        dx, dad, das = slab_attention_bwd_mh(
+            pair, g_x.reshape(N, H, FH), ad, asx, gm, gs, gt,
+            gg_out.reshape(N, H, FH), interpret=False)
+        return dx.reshape(N, F) + dad[:, :1] + das[:, :1]
+
+    def run_attn_bwd_headloop(g_ell, g_tell, g_x, ad, asx, gm, gs, gt,
+                              gg_out):
+        pair = AttnSlabPair(fwd=g._replace(ell=g_ell), t_ell=g_tell)
+        xh = g_x.reshape(N, H, FH)
+        gh = gg_out.reshape(N, H, FH)
+        outs = []
+        for h in range(H):
+            dx, dad, das = slab_attention_bwd(
+                pair, xh[:, h], ad[:, h], asx[:, h], gm[:, h], gs[:, h],
+                gt[:, h], gh[:, h], interpret=False)
+            outs.append(dx + dad[:, None] + das[:, None])
+        return jnp.concatenate(outs, axis=1)
+
+    timed("attn bwd mh(4) fused", run_attn_bwd_mh,
+          (ell, t_ell, x, ad_h, as_h, m_h, s_h, t_h, gout))
+    timed("attn bwd mh(4) loop ", run_attn_bwd_headloop,
+          (ell, t_ell, x, ad_h, as_h, m_h, s_h, t_h, gout))
+
 
 if __name__ == "__main__":
     main()
