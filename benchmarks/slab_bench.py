@@ -175,18 +175,26 @@ def main():
     timed("attn mh(4) fused", run_attn_mh, (ell, x, ad_h, as_h))
     timed("attn mh(4) loop ", run_attn_headloop, (ell, x, ad_h, as_h))
 
+    # bwd at HALF scale: the scan carry holds five (N, H) stat arrays
+    # whose (8,128)-tile padding at full N pushes the full-graph mh bwd
+    # program past the 16G HBM (fair comparison: both variants at N2).
+    N2 = N // 2
+    g2 = g._replace(ell=ell[:N2], degrees=deg[:N2], num_rows=N2,
+                    n_blocks=N2 // R)
+    edges2 = N2 * DEG
+
     def run_attn_bwd_mh(g_ell, g_tell, g_x, ad, asx, gm, gs, gt, gg_out):
-        pair = AttnSlabPair(fwd=g._replace(ell=g_ell), t_ell=g_tell)
+        pair = AttnSlabPair(fwd=g2._replace(ell=g_ell), t_ell=g_tell)
         dx, dad, das = slab_attention_bwd_mh(
-            pair, g_x.reshape(N, H, FH), ad, asx, gm, gs, gt,
-            gg_out.reshape(N, H, FH), interpret=False)
-        return dx.reshape(N, F) + dad[:, :1] + das[:, :1]
+            pair, g_x.reshape(N2, H, FH), ad, asx, gm, gs, gt,
+            gg_out.reshape(N2, H, FH), interpret=False)
+        return dx.reshape(N2, F) + dad[:, :1] + das[:, :1]
 
     def run_attn_bwd_headloop(g_ell, g_tell, g_x, ad, asx, gm, gs, gt,
                               gg_out):
-        pair = AttnSlabPair(fwd=g._replace(ell=g_ell), t_ell=g_tell)
-        xh = g_x.reshape(N, H, FH)
-        gh = gg_out.reshape(N, H, FH)
+        pair = AttnSlabPair(fwd=g2._replace(ell=g_ell), t_ell=g_tell)
+        xh = g_x.reshape(N2, H, FH)
+        gh = gg_out.reshape(N2, H, FH)
         outs = []
         for h in range(H):
             dx, dad, das = slab_attention_bwd(
@@ -195,10 +203,13 @@ def main():
             outs.append(dx + dad[:, None] + das[:, None])
         return jnp.concatenate(outs, axis=1)
 
-    timed("attn bwd mh(4) fused", run_attn_bwd_mh,
-          (ell, t_ell, x, ad_h, as_h, m_h, s_h, t_h, gout))
-    timed("attn bwd mh(4) loop ", run_attn_bwd_headloop,
-          (ell, t_ell, x, ad_h, as_h, m_h, s_h, t_h, gout))
+    edges = edges2  # timed() reports effective GB/s from `edges`
+    timed("attn bwd mh(4) fused (N/2)", run_attn_bwd_mh,
+          (ell[:N2], t_ell[:N2], x[:N2], ad_h[:N2], as_h[:N2], m_h[:N2],
+           s_h[:N2], t_h[:N2], gout[:N2]))
+    timed("attn bwd mh(4) loop  (N/2)", run_attn_bwd_headloop,
+          (ell[:N2], t_ell[:N2], x[:N2], ad_h[:N2], as_h[:N2], m_h[:N2],
+           s_h[:N2], t_h[:N2], gout[:N2]))
 
 
 if __name__ == "__main__":
