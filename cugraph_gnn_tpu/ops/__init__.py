@@ -5,6 +5,7 @@ from cugraph_gnn_tpu.ops.csr import (
     csr_add_self_loop,
     edge_mask_valid,
 )
+from cugraph_gnn_tpu.ops.dist_full_batch import DistFullBatchGraph
 from cugraph_gnn_tpu.ops.full_batch import FullBatchGraph
 from cugraph_gnn_tpu.ops.gather import local_gather, local_scatter, local_scatter_add
 from cugraph_gnn_tpu.ops.pallas.slab_kernel import (
@@ -36,6 +37,7 @@ from cugraph_gnn_tpu.ops.unique import AppendUniqueOutput, append_unique
 
 __all__ = [
     "CSR",
+    "DistFullBatchGraph",
     "FullBatchGraph",
     "ReorderedGraph",
     "SlabGraph",

@@ -1,0 +1,126 @@
+"""Distributed full-batch slab SpMM (ops/dist_full_batch.py): sharded
+halo-exchange aggregation must match the single-device path exactly,
+forward and backward, including fallback (off-band) edges."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from cugraph_gnn_tpu.native import build_csr
+from cugraph_gnn_tpu.ops.dist_full_batch import DistFullBatchGraph
+from cugraph_gnn_tpu.ops.full_batch import FullBatchGraph
+from cugraph_gnn_tpu.parallel import STORE_AXIS
+from tests.test_slab_spmm import make_graph
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return Mesh(np.array(jax.devices()[:8]), (STORE_AXIS,))
+
+
+@pytest.mark.parametrize("frac_far", [0.0, 0.25])
+@pytest.mark.parametrize("reduce", ["sum", "mean"])
+def test_dist_spmm_matches_single(mesh, frac_far, reduce):
+    rng = np.random.default_rng(7)
+    n, f = 900, 32
+    src, dst = make_graph(n, 5, 60, rng, frac_far=frac_far)
+    indptr, indices, _ = build_csr(dst, src, n)
+    dfbg = DistFullBatchGraph(indptr, indices, mesh, reorder="none",
+                              block_rows=128)
+    fbg = FullBatchGraph(indptr, indices, reorder="none", block_rows=128,
+                         min_band_fraction=0.0)
+    assert dfbg.band_fraction == pytest.approx(fbg.band_fraction)
+    x = rng.standard_normal((n, f)).astype(np.float32)
+    out = dfbg.unshard(dfbg.spmm(dfbg.shard(x), reduce=reduce))
+    want = np.asarray(fbg.spmm(jnp.asarray(x), reduce=reduce))
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+
+
+def test_dist_spmm_grad_matches_single(mesh):
+    rng = np.random.default_rng(8)
+    n, f = 640, 16
+    src, dst = make_graph(n, 4, 50, rng, frac_far=0.2)
+    indptr, indices, _ = build_csr(dst, src, n)
+    dfbg = DistFullBatchGraph(indptr, indices, mesh, reorder="none",
+                              block_rows=128)
+    fbg = FullBatchGraph(indptr, indices, reorder="none", block_rows=128,
+                         min_band_fraction=0.0)
+    x = rng.standard_normal((n, f)).astype(np.float32)
+    g_out = rng.standard_normal((n, f)).astype(np.float32)
+    g_pad = dfbg.shard(g_out)
+
+    def loss_d(xs):
+        return jnp.sum(dfbg.spmm(xs, reduce="mean") * g_pad)
+
+    def loss_s(xs):
+        return jnp.sum(fbg.spmm(xs, reduce="mean") * jnp.asarray(g_out))
+
+    got = dfbg.unshard(jax.grad(loss_d)(dfbg.shard(x)))
+    want = np.asarray(jax.grad(loss_s)(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_dist_spmm_rcm_and_order_maps(mesh):
+    """reorder='rcm': results in graph order must match the single-chip
+    RCM path (same deterministic ordering)."""
+    rng = np.random.default_rng(9)
+    n, f = 500, 8
+    src, dst = make_graph(n, 4, 30, rng)
+    # scramble ids so RCM has something to do
+    perm = rng.permutation(n).astype(np.int32)
+    src, dst = perm[src], perm[dst]
+    indptr, indices, _ = build_csr(dst, src, n)
+    dfbg = DistFullBatchGraph(indptr, indices, mesh, reorder="rcm",
+                              block_rows=128)
+    fbg = FullBatchGraph(indptr, indices, reorder="rcm", block_rows=128,
+                         min_band_fraction=0.0)
+    np.testing.assert_array_equal(np.asarray(dfbg.order),
+                                  np.asarray(fbg.order))
+    x = rng.standard_normal((n, f)).astype(np.float32)
+    x_g = dfbg.to_graph_order(x)
+    out = dfbg.unshard(dfbg.spmm(dfbg.shard(x_g), reduce="sum"))
+    want = np.asarray(fbg.spmm(jnp.asarray(x_g), reduce="sum"))
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+
+
+def test_dist_full_batch_model_trains(mesh):
+    """GCN.full_graph runs unchanged on the sharded graph: full-batch
+    distributed training end-to-end."""
+    import optax
+
+    from cugraph_gnn_tpu.models import GCN
+
+    rng = np.random.default_rng(10)
+    n, f, classes = 768, 16, 4
+    src, dst = make_graph(n, 5, 40, rng)
+    dfbg = DistFullBatchGraph.from_coo(src, dst, n, mesh, reorder="none",
+                                       block_rows=128)
+    x = dfbg.shard(rng.standard_normal((n, f)).astype(np.float32))
+    y_host = np.zeros(dfbg._n_pad, np.int32)
+    y_host[:n] = (np.arange(n) * classes) // n
+    y = dfbg.shard(y_host)
+    valid = dfbg.shard((np.arange(dfbg._n_pad) < n).astype(np.float32))
+
+    model = GCN(hidden_features=16, out_features=classes, num_layers=2)
+    params = model.init(jax.random.PRNGKey(0), x, dfbg,
+                        method=GCN.full_graph)
+    tx = optax.adam(2e-2)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        def loss_fn(p):
+            logits = model.apply(p, x, dfbg, method=GCN.full_graph)
+            ls = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            return jnp.sum(ls * valid) / jnp.sum(valid)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        u, opt = tx.update(grads, opt)
+        return optax.apply_updates(params, u), opt, loss
+
+    losses = []
+    for _ in range(60):
+        params, opt, loss = step(params, opt)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, (losses[0], losses[-1])
