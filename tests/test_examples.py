@@ -48,6 +48,12 @@ def test_rgcn_hetero_example():
                  "--num-insts", "20"])
 
 
+def test_dist_full_batch_example():
+    run_example("dist_full_batch_training.py",
+                ["--devices", "8", "--epochs", "40", "--num-nodes", "1024",
+                 "--band", "100"], timeout=400)
+
+
 def test_kg_link_class_example():
     run_example("kg_link_class.py",
                 ["--epochs", "1", "--batch-size", "64",
