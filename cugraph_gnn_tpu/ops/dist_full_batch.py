@@ -37,7 +37,11 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from cugraph_gnn_tpu.parallel.mesh import STORE_AXIS
-from cugraph_gnn_tpu.store.dist_array import _dist_gather_shard, put_global
+from cugraph_gnn_tpu.store.dist_array import (
+    _dist_gather_shard,
+    _dist_scatter_shard,
+    put_global,
+)
 from cugraph_gnn_tpu.store.partition import PartitionBook
 
 
@@ -145,6 +149,11 @@ class DistFullBatchGraph:
         slab = build_slab_graph(indptr, indices, block_rows=block_rows,
                                 max_k=max_k)
         self.band_fraction = slab.band_fraction
+        self._indptr_g = np.asarray(indptr)
+        self._indices_g = np.asarray(indices, np.int32)
+        self._max_k = max_k
+        self._attn = None
+        self._diff_attn = {}
         r_blk = block_rows
         # pad the block count to a multiple of the mesh size
         nb_w = -(-slab.n_blocks // world) * world
@@ -288,6 +297,308 @@ class DistFullBatchGraph:
             f.defvjp(fwd, bwd)
             self._diff[key] = f
         return self._diff[key](x)
+
+    # -- fused attention over the mesh --------------------------------------
+
+    def _attn_structs(self):
+        """Lazily build the sharded symmetric attention split: fwd ELL +
+        transpose ELL row-sharded, fallback edges bucketed BY DST (for
+        the forward + dst-side backward) and BY SRC (for the src-side
+        backward)."""
+        if getattr(self, "_attn", None) is None:
+            from cugraph_gnn_tpu.ops.pallas.slab_attn_grad import (
+                build_attention_slab_pair)
+            pair = build_attention_slab_pair(
+                self._indptr_g, self._indices_g, block_rows=self._r_blk,
+                max_k=self._max_k)
+            sh = self._sharding
+
+            def padded(e):
+                e = np.asarray(e)
+                if e.shape[0] < self._n_pad:
+                    e = np.concatenate([
+                        e, np.full((self._n_pad - e.shape[0], e.shape[1]),
+                                   -1, np.int32)])
+                return put_global(e, sh)
+
+            fb_s = np.asarray(pair.fwd.fb_src)
+            fb_d = np.asarray(pair.fwd.fb_dst)
+            d_src, d_dst = _bucket_fallback(fb_s, fb_d, self._rs,
+                                            self._world)
+            # src-bucketed copy (keep GLOBAL dst ids: the src-side body
+            # gathers dst-row quantities remotely)
+            valid = (fb_s >= 0) & (fb_d >= 0)
+            s_src = np.full((self._world, 1), -1, np.int32)
+            s_dst = np.full((self._world, 1), -1, np.int32)
+            if valid.any():
+                vs, vd = fb_s[valid], fb_d[valid]
+                shard = vs // self._rs
+                cap = int(np.bincount(shard, minlength=self._world)
+                          .max(initial=0))
+                cap = max(-(-cap // 128) * 128, 128)
+                s_src = np.full((self._world, cap), -1, np.int32)
+                s_dst = np.full((self._world, cap), -1, np.int32)
+                for w in range(self._world):
+                    sel = shard == w
+                    k = int(sel.sum())
+                    s_src[w, :k] = vs[sel] - w * self._rs  # local src
+                    s_dst[w, :k] = vd[sel]                 # global dst
+            self._attn = dict(
+                ell=padded(np.asarray(pair.fwd.ell)),
+                t_ell=padded(np.asarray(pair.t_ell)),
+                fb_dst_bucketed=(put_global(d_src, sh),
+                                 put_global(d_dst, sh)),
+                fb_src_bucketed=(put_global(s_src.reshape(-1), sh),
+                                 put_global(s_dst.reshape(-1), sh)),
+            )
+            self._diff_attn = {}
+        return self._attn
+
+    def _attn_fwd_sharded(self, x, alpha_dst, alpha_src, negative_slope):
+        """Sharded forward: returns (out, m, s) row-sharded; exact LSE
+        merge of band and fallback contributions per row."""
+        st = self._attn_structs()
+        interpret = jax.default_backend() != "tpu"
+        r_blk, world, axis, book = (self._r_blk, self._world, self.axis,
+                                    self._book)
+        k_w = st["ell"].shape[1]
+        fb_src, fb_dst = st["fb_dst_bucketed"]
+
+        def body(ell_local, x_local, ad_local, as_local, fb_s, fb_d):
+            import functools as ft
+
+            from jax.experimental import pallas as pl
+
+            from cugraph_gnn_tpu.ops.pallas.slab_kernel import (
+                _slab_attn_kernel)
+
+            rs, f = x_local.shape
+            nb_local = rs // r_blk
+            x_ext = _halo_exchange(x_local, r_blk, axis, world)
+            as_ext = _halo_exchange(
+                jnp.broadcast_to(as_local.astype(jnp.float32)[:, None],
+                                 (rs, 128)), r_blk, axis, world)
+            ad_l = jnp.broadcast_to(
+                ad_local.astype(jnp.float32)[:, None], (rs, 128))
+            kern = ft.partial(_slab_attn_kernel, k_w, negative_slope,
+                              jnp.float32)
+            sl = [pl.BlockSpec((r_blk, 128), lambda b, o=o: (b + o, 0))
+                  for o in range(3)]
+            xl = [pl.BlockSpec((r_blk, f), lambda b, o=o: (b + o, 0))
+                  for o in range(3)]
+            u, m_b, s_b = pl.pallas_call(
+                kern, grid=(nb_local,),
+                in_specs=[pl.BlockSpec((r_blk, k_w), lambda b: (b, 0)),
+                          pl.BlockSpec((r_blk, 128), lambda b: (b, 0))]
+                + sl + xl,
+                out_specs=[pl.BlockSpec((r_blk, f), lambda b: (b, 0)),
+                           pl.BlockSpec((r_blk, 128), lambda b: (b, 0)),
+                           pl.BlockSpec((r_blk, 128), lambda b: (b, 0))],
+                out_shape=[jax.ShapeDtypeStruct((rs, f), jnp.float32),
+                           jax.ShapeDtypeStruct((rs, 128), jnp.float32),
+                           jax.ShapeDtypeStruct((rs, 128), jnp.float32)],
+                interpret=interpret,
+            )(ell_local, ad_l, as_ext, as_ext, as_ext, x_ext, x_ext, x_ext)
+            m_b, s_b = m_b[:, 0], s_b[:, 0]
+            m_out = m_b
+
+            if fb_s.shape[0]:
+                # remote src rows: features + alpha_src in one exchange
+                xa_local = jnp.concatenate(
+                    [x_local.astype(jnp.float32),
+                     as_local.astype(jnp.float32)[:, None]], axis=1)
+                xa = _dist_gather_shard(xa_local, fb_s, book=book,
+                                        axis=axis, fill=0)
+                x_fb, as_fb = xa[:, :f], xa[:, f]
+                valid = (fb_s >= 0) & (fb_d >= 0)
+                dv = jnp.where(valid, fb_d, rs)
+                d0 = jnp.where(valid, fb_d, 0)
+                e = ad_local.astype(jnp.float32)[d0] + as_fb
+                e = jnp.where(e >= 0, e,
+                              jnp.float32(negative_slope) * e)
+                e = jnp.where(valid, e, -jnp.inf)
+                m_f_seg = jax.ops.segment_max(e, dv, num_segments=rs + 1)[
+                    :rs]
+                m_f = jnp.where(jnp.isfinite(m_f_seg), m_f_seg, 0.0)
+                p = jnp.where(valid, jnp.exp(e - m_f[d0]), 0.0)
+                s_f = jax.ops.segment_sum(p, dv, num_segments=rs + 1)[:rs]
+                u_f = jax.ops.segment_sum(
+                    p[:, None] * x_fb, dv, num_segments=rs + 1)[:rs]
+                m = jnp.maximum(m_b, m_f)
+                wb = jnp.where(s_b > 0, jnp.exp(m_b - m), 0.0)
+                wf = jnp.where(s_f > 0, jnp.exp(m_f - m), 0.0)
+                u = u * wb[:, None] + u_f * wf[:, None]
+                s_b = s_b * wb + s_f * wf
+                m_out = m
+            out = u / jnp.maximum(s_b, 1e-16)[:, None]
+            return out, m_out, s_b
+
+        p = P(self.axis)
+        return jax.shard_map(
+            body, mesh=self.mesh, in_specs=(p,) * 6,
+            out_specs=(p, p, p), check_vma=False,
+        )(st["ell"], x, alpha_dst, alpha_src, fb_src, fb_dst)
+
+    def _attn_bwd_sharded(self, x, alpha_dst, alpha_src, m, s, t, g,
+                          negative_slope):
+        """Sharded backward: band gradients via the dst/transpose-src
+        kernels over halo-exchanged stats slabs; fallback gradients via
+        a src-bucketed edge list (remote dst stats + g gathered, dad
+        scattered back to dst shards)."""
+        st = self._attn_structs()
+        interpret = jax.default_backend() != "tpu"
+        r_blk, world, axis, book = (self._r_blk, self._world, self.axis,
+                                    self._book)
+        k_f = st["ell"].shape[1]
+        k_t = st["t_ell"].shape[1]
+        fb_src_l, fb_dst_g = st["fb_src_bucketed"]
+        AD, M, S, T, AS = 0, 1, 2, 3, 4  # lane layout (slab_attn_grad)
+
+        def body(ell_l, tell_l, x_l, ad_l, as_l, m_l, s_l, t_l, g_l,
+                 fb_s, fb_d):
+            import functools as ft
+
+            from jax.experimental import pallas as pl
+
+            from cugraph_gnn_tpu.ops.pallas.slab_attn_grad import (
+                _bwd_dst_kernel, _bwd_src_kernel)
+
+            rs, f = x_l.shape
+            nb_local = rs // r_blk
+            s_safe = jnp.maximum(s_l, 1e-16)
+            stats = jnp.zeros((rs, 128), jnp.float32)
+            for lane, v in ((AD, ad_l), (M, m_l), (S, s_safe), (T, t_l),
+                            (AS, as_l)):
+                stats = stats.at[:, lane].set(v.astype(jnp.float32))
+            st_ext = _halo_exchange(stats, r_blk, axis, world)
+            # halo rows from boundary zeros: keep the S lane nonzero
+            st_ext = st_ext.at[:r_blk, S].set(
+                jnp.maximum(st_ext[:r_blk, S], 1e-16))
+            st_ext = st_ext.at[-r_blk:, S].set(
+                jnp.maximum(st_ext[-r_blk:, S], 1e-16))
+            x_ext = _halo_exchange(x_l.astype(jnp.float32), r_blk, axis,
+                                   world)
+            g_ext = _halo_exchange(g_l.astype(jnp.float32), r_blk, axis,
+                                   world)
+
+            def ell_spec(width):
+                return pl.BlockSpec((r_blk, width), lambda b: (b, 0))
+
+            def blk_spec(width):
+                return pl.BlockSpec((r_blk, width), lambda b: (b + 1, 0))
+
+            def slabs(width):
+                return [pl.BlockSpec((r_blk, width),
+                                     lambda b, o=o: (b + o, 0))
+                        for o in range(3)]
+
+            dad = pl.pallas_call(
+                ft.partial(_bwd_dst_kernel, k_f, negative_slope),
+                grid=(nb_local,),
+                in_specs=[ell_spec(k_f), blk_spec(128)] + slabs(128)
+                + [blk_spec(f)] + slabs(f),
+                out_specs=ell_spec(128),
+                out_shape=jax.ShapeDtypeStruct((rs, 128), jnp.float32),
+                interpret=interpret,
+            )(ell_l, st_ext, st_ext, st_ext, st_ext, g_ext,
+              x_ext, x_ext, x_ext)[:, 0]
+
+            dx, das = pl.pallas_call(
+                ft.partial(_bwd_src_kernel, k_t, negative_slope),
+                grid=(nb_local,),
+                in_specs=[ell_spec(k_t), blk_spec(128)] + slabs(128)
+                + [blk_spec(f)] + slabs(f),
+                out_specs=[ell_spec(f), ell_spec(128)],
+                out_shape=[jax.ShapeDtypeStruct((rs, f), jnp.float32),
+                           jax.ShapeDtypeStruct((rs, 128), jnp.float32)],
+                interpret=interpret,
+            )(tell_l, st_ext, st_ext, st_ext, st_ext, x_ext,
+              g_ext, g_ext, g_ext)
+            das = das[:, 0]
+
+            if fb_s.shape[0]:
+                # remote dst quantities: [g row | ad | m | s | t]
+                gq_local = jnp.concatenate(
+                    [g_l.astype(jnp.float32),
+                     ad_l.astype(jnp.float32)[:, None],
+                     m_l[:, None], s_safe[:, None], t_l[:, None]], axis=1)
+                gq = _dist_gather_shard(gq_local, fb_d, book=book,
+                                        axis=axis, fill=0)
+                g_d, ad_d = gq[:, :f], gq[:, f]
+                m_d, s_d, t_d = gq[:, f + 1], gq[:, f + 2], gq[:, f + 3]
+                valid = (fb_s >= 0) & (fb_d >= 0)
+                sv = jnp.where(valid, fb_s, 0)
+                seg_s = jnp.where(valid, fb_s, rs)
+                z = ad_d + as_l.astype(jnp.float32)[sv]
+                lr = jnp.where(z >= 0, z, jnp.float32(negative_slope) * z)
+                a_e = jnp.where(valid,
+                                jnp.exp(lr - m_d) / jnp.maximum(s_d, 1e-16),
+                                0.0)
+                gx = jnp.sum(g_d * x_l.astype(jnp.float32)[sv], axis=-1)
+                dz = jnp.where(z >= 0, 1.0, jnp.float32(negative_slope))
+                de = a_e * (gx - t_d) * dz
+                dx = dx + jax.ops.segment_sum(
+                    a_e[:, None] * g_d, seg_s, num_segments=rs + 1)[:rs]
+                das = das + jax.ops.segment_sum(
+                    de, seg_s, num_segments=rs + 1)[:rs]
+                # dad contributions go to DST rows: distributed
+                # scatter-add back to the owning shards
+                dad = _dist_scatter_shard(
+                    dad[:, None], fb_d, de[:, None], book=book, axis=axis,
+                    mode="add")[:, 0]
+            return dx, dad, das
+
+        p = P(self.axis)
+        return jax.shard_map(
+            body, mesh=self.mesh, in_specs=(p,) * 11,
+            out_specs=(p, p, p), check_vma=False,
+        )(st["ell"], st["t_ell"], x, alpha_dst, alpha_src, m, s, t, g,
+          fb_src_l, fb_dst_g)
+
+    def attention_spmm(self, x, alpha_dst, alpha_src, *,
+                       negative_slope: float = 0.2):
+        """Sharded fused GAT attention aggregate: x (N_pad, F) and
+        alpha_* (N_pad,) row-sharded (use :meth:`shard`).  Both passes
+        ride the banded kernels with halo-exchanged slabs; exact for
+        any graph via the bucketed fallback.  Differentiable."""
+        key = ("attn", negative_slope)
+        if key not in getattr(self, "_diff_attn", {}):
+            self._attn_structs()
+
+            @jax.custom_vjp
+            def f(x, ad, asx):
+                out, _, _ = self._attn_fwd_sharded(x, ad, asx,
+                                                   negative_slope)
+                return out
+
+            def fwd(x, ad, asx):
+                out, m, s = self._attn_fwd_sharded(x, ad, asx,
+                                                   negative_slope)
+                return out, (x, ad, asx, out, m, s)
+
+            def bwd(res, g):
+                x, ad, asx, out, m, s = res
+                t = jnp.sum(g.astype(jnp.float32) * out, axis=-1)
+                dx, dad, das = self._attn_bwd_sharded(
+                    x, ad, asx, m, s, t, g, negative_slope)
+                return (dx.astype(x.dtype), dad.astype(ad.dtype),
+                        das.astype(asx.dtype))
+
+            f.defvjp(fwd, bwd)
+            self._diff_attn[key] = f
+        return self._diff_attn[key](x, alpha_dst, alpha_src)
+
+    def attention_spmm_mh(self, x, alpha_dst, alpha_src, *,
+                          negative_slope: float = 0.2):
+        """Multi-head surface (model-zoo GATConv.full_graph contract):
+        per-head loop over the sharded single-head path.  x (N_pad, H,
+        F) row-sharded; alphas (N_pad, H)."""
+        heads = x.shape[1]
+        return jnp.stack([
+            self.attention_spmm(x[:, h], alpha_dst[:, h], alpha_src[:, h],
+                                negative_slope=negative_slope)
+            for h in range(heads)
+        ], axis=1)
 
     @classmethod
     def from_coo(cls, src, dst, num_nodes: int, mesh, **kw):

@@ -85,6 +85,116 @@ def test_dist_spmm_rcm_and_order_maps(mesh):
     np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("frac_far", [0.0, 0.25])
+def test_dist_attention_matches_single(mesh, frac_far):
+    """Sharded fused attention forward == single-device fused path."""
+    from cugraph_gnn_tpu.ops.pallas.slab_attn_grad import (
+        build_attention_slab_pair)
+    from cugraph_gnn_tpu.ops.pallas.slab_kernel import slab_attention_spmm
+
+    rng = np.random.default_rng(11)
+    n, f = 700, 16
+    src, dst = make_graph(n, 5, 60, rng, frac_far=frac_far)
+    indptr, indices, _ = build_csr(dst, src, n)
+    dfbg = DistFullBatchGraph(indptr, indices, mesh, reorder="none",
+                              block_rows=128)
+    pair = build_attention_slab_pair(indptr, indices, block_rows=128,
+                                     max_k=64)
+    x = rng.standard_normal((n, f)).astype(np.float32)
+    a_d = rng.standard_normal(n).astype(np.float32)
+    a_s = rng.standard_normal(n).astype(np.float32)
+    out = dfbg.unshard(dfbg.attention_spmm(
+        dfbg.shard(x), dfbg.shard(a_d), dfbg.shard(a_s)))
+    want = np.asarray(slab_attention_spmm(
+        pair.fwd, jnp.asarray(x), jnp.asarray(a_d), jnp.asarray(a_s)))
+    np.testing.assert_allclose(out, want, rtol=2e-4, atol=2e-4)
+
+
+def test_dist_attention_grads_match_reference(mesh):
+    """All three sharded attention gradients == jax autodiff of the
+    segment-op reference."""
+    rng = np.random.default_rng(12)
+    n, f = 512, 8
+    src, dst = make_graph(n, 4, 50, rng, frac_far=0.2)
+    indptr, indices, _ = build_csr(dst, src, n)
+    dfbg = DistFullBatchGraph(indptr, indices, mesh, reorder="none",
+                              block_rows=128)
+    x = rng.standard_normal((n, f)).astype(np.float32)
+    a_d = rng.standard_normal(n).astype(np.float32)
+    a_s = rng.standard_normal(n).astype(np.float32)
+    g = rng.standard_normal((n, f)).astype(np.float32)
+    g_pad = dfbg.shard(g)
+
+    def loss_d(xs, ad, asx):
+        return jnp.sum(dfbg.attention_spmm(xs, ad, asx) * g_pad)
+
+    got = jax.grad(loss_d, argnums=(0, 1, 2))(
+        dfbg.shard(x), dfbg.shard(a_d), dfbg.shard(a_s))
+
+    rows = jnp.asarray(np.repeat(np.arange(n), np.diff(indptr)), jnp.int32)
+    cols = jnp.asarray(indices, jnp.int32)
+
+    def ref(x, ad, asx):
+        e = ad[rows] + asx[cols]
+        e = jnp.where(e >= 0, e, 0.2 * e)
+        m = jax.ops.segment_max(e, rows, num_segments=n)
+        m = jnp.where(jnp.isfinite(m), m, 0.0)
+        p = jnp.exp(e - m[rows])
+        s = jax.ops.segment_sum(p, rows, num_segments=n)
+        u = jax.ops.segment_sum(p[:, None] * x[cols], rows, num_segments=n)
+        return u / jnp.maximum(s, 1e-16)[:, None]
+
+    def loss_s(x, ad, asx):
+        return jnp.sum(ref(x, ad, asx) * jnp.asarray(g))
+
+    want = jax.grad(loss_s, argnums=(0, 1, 2))(
+        jnp.asarray(x), jnp.asarray(a_d), jnp.asarray(a_s))
+    for gi, wi, name in zip(got, want, ("dx", "dalpha_dst", "dalpha_src")):
+        np.testing.assert_allclose(dfbg.unshard(gi), np.asarray(wi),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_dist_gat_full_graph_trains(mesh):
+    """GAT.full_graph (multi-head surface) trains over the mesh."""
+    import optax
+
+    from cugraph_gnn_tpu.models import GAT
+
+    rng = np.random.default_rng(13)
+    n, f, classes = 512, 8, 3
+    src, dst = make_graph(n, 4, 40, rng)
+    dfbg = DistFullBatchGraph.from_coo(src, dst, n, mesh, reorder="none",
+                                       block_rows=128)
+    x = dfbg.shard(rng.standard_normal((n, f)).astype(np.float32))
+    y_host = np.zeros(dfbg._n_pad, np.int32)
+    y_host[:n] = (np.arange(n) * classes) // n
+    y = dfbg.shard(y_host)
+    valid = dfbg.shard((np.arange(dfbg._n_pad) < n).astype(np.float32))
+
+    model = GAT(hidden_features=8, out_features=classes, num_layers=2,
+                heads=2)
+    params = model.init(jax.random.PRNGKey(0), x, dfbg,
+                        method=GAT.full_graph)
+    tx = optax.adam(2e-2)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        def loss_fn(p):
+            logits = model.apply(p, x, dfbg, method=GAT.full_graph)
+            ls = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            return jnp.sum(ls * valid) / jnp.sum(valid)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        u, opt = tx.update(grads, opt)
+        return optax.apply_updates(params, u), opt, loss
+
+    losses = []
+    for _ in range(40):
+        params, opt, loss = step(params, opt)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])
+
+
 def test_dist_full_batch_model_trains(mesh):
     """GCN.full_graph runs unchanged on the sharded graph: full-batch
     distributed training end-to-end."""
