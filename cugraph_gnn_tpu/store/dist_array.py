@@ -217,6 +217,48 @@ class DistArray:
         return DistArray(data, book, mesh, axis)
 
     @staticmethod
+    def from_file(path: str, mesh: Mesh, axis: str = STORE_AXIS,
+                  book: Optional[PartitionBook] = None,
+                  dtype=None) -> "DistArray":
+        """Build from a .npy (numpy, mmap) or .pt (torch) file without
+        materialising the full array in host memory: each device shard
+        slices only its rows from the memory map (ref
+        cugraph_pyg/tensor/dist_tensor.py:127-150 DistTensor.from_file).
+        """
+        if path.endswith(".npy"):
+            host = np.load(path, mmap_mode="r")
+        elif path.endswith(".pt"):
+            import torch
+            host = torch.load(path, mmap=True, weights_only=True).numpy()
+        else:
+            raise ValueError(
+                f"unsupported file type {path!r} (expect .npy or .pt)")
+        total = host.shape[0]
+        world = mesh.shape[axis]
+        book = book or PartitionBook.even(total, world)
+        feat = host.shape[1:]
+        out_dtype = np.dtype(dtype) if dtype is not None else host.dtype
+        shard_size = book.shard_size
+        # per-rank logical rows, in local-offset order (contiguous slice
+        # for range books; interleaved fancy-index for round-robin)
+        gids = np.arange(total)
+        owner = book.owner_of_np(gids)
+
+        def shard_rows(index):
+            rank = (index[0].start or 0) // shard_size
+            rows = np.zeros((shard_size,) + feat, out_dtype)
+            mine = gids[owner == rank]
+            if len(mine):
+                loc = book.local_offset_np(mine)
+                rows[loc] = np.asarray(host[mine], out_dtype)
+            return rows
+
+        sharding = NamedSharding(mesh, P(axis))
+        data = jax.make_array_from_callback(
+            (book.padded_total,) + feat, sharding, shard_rows)
+        return DistArray(data, book, mesh, axis)
+
+    @staticmethod
     def from_array(host_array, mesh: Mesh, axis: str = STORE_AXIS,
                    book: Optional[PartitionBook] = None,
                    dtype=None) -> "DistArray":

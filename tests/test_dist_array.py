@@ -154,3 +154,31 @@ def test_split_mesh(mesh, rng):
     ids = rng.integers(0, 20, 8).astype(np.int32)
     np.testing.assert_allclose(
         np.asarray(arr.gather(jnp.asarray(ids))), host[ids], rtol=1e-6)
+
+
+def test_from_file_npy_and_pt(mesh, tmp_path):
+    """DistArray.from_file: mmap .npy / .pt load, even and round-robin
+    books (ref dist_tensor.py:127-150 DistTensor.from_file)."""
+    rng = np.random.default_rng(3)
+    host = rng.standard_normal((101, 6)).astype(np.float32)
+    npy = tmp_path / "x.npy"
+    np.save(npy, host)
+    da = DistArray.from_file(str(npy), mesh)
+    np.testing.assert_allclose(da.to_global(), host)
+    # dtype conversion on load
+    da16 = DistArray.from_file(str(npy), mesh, dtype=np.float16)
+    np.testing.assert_allclose(da16.to_global(), host.astype(np.float16))
+    # round-robin book
+    from cugraph_gnn_tpu.store.partition import RoundRobinBook
+    rr = RoundRobinBook(total=101, world_size=8)
+    darr = DistArray.from_file(str(npy), mesh, book=rr)
+    np.testing.assert_allclose(darr.to_global(), host)
+    # torch .pt
+    import torch
+    pt = tmp_path / "x.pt"
+    torch.save(torch.from_numpy(host), str(pt))
+    dapt = DistArray.from_file(str(pt), mesh)
+    np.testing.assert_allclose(dapt.to_global(), host)
+    # unsupported extension
+    with pytest.raises(ValueError, match="file type"):
+        DistArray.from_file("x.csv", mesh)
