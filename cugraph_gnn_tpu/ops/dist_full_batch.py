@@ -45,15 +45,22 @@ from cugraph_gnn_tpu.store.dist_array import (
 from cugraph_gnn_tpu.store.partition import PartitionBook
 
 
-def _bucket_fallback(fb_src, fb_dst, rows_per_shard: int, world: int):
-    """Host-side: group fallback edges by destination shard, pad every
-    shard to the max count (shard_map needs equal per-shard shapes).
-    Returns (W * cap,) src / local-dst arrays, -1 padded."""
+def _bucket_fallback(fb_src, fb_dst, rows_per_shard: int, world: int,
+                     bucket_by: str = "dst", localize: str = "dst"):
+    """Host-side: group fallback edges by ``bucket_by`` ('dst' or 'src')
+    shard, pad every shard to the max count (shard_map needs equal
+    per-shard shapes), and localize the ``localize`` side's ids to
+    shard-relative offsets (the other side stays global for the a2a
+    exchange).  Returns (W * cap,) src / dst arrays, -1 padded; both
+    shape (0,) when the graph has no fallback edges at all (so the
+    distributed-exchange branch compiles out)."""
     fb_src = np.asarray(fb_src)
     fb_dst = np.asarray(fb_dst)
     valid = (fb_src >= 0) & (fb_dst >= 0)
     fb_src, fb_dst = fb_src[valid], fb_dst[valid]
-    shard = fb_dst // rows_per_shard
+    if not len(fb_src):
+        return (np.zeros(0, np.int32),) * 2
+    shard = (fb_dst if bucket_by == "dst" else fb_src) // rows_per_shard
     cap = int(np.bincount(shard, minlength=world).max(initial=0))
     cap = max(-(-cap // 128) * 128, 128)
     src_p = np.full((world, cap), -1, np.int32)
@@ -61,8 +68,10 @@ def _bucket_fallback(fb_src, fb_dst, rows_per_shard: int, world: int):
     for w in range(world):
         sel = shard == w
         k = int(sel.sum())
-        src_p[w, :k] = fb_src[sel]
-        dst_p[w, :k] = fb_dst[sel] - w * rows_per_shard
+        src_p[w, :k] = fb_src[sel] - (w * rows_per_shard
+                                      if localize == "src" else 0)
+        dst_p[w, :k] = fb_dst[sel] - (w * rows_per_shard
+                                      if localize == "dst" else 0)
     return src_p.reshape(-1), dst_p.reshape(-1)
 
 
@@ -204,7 +213,6 @@ class DistFullBatchGraph:
     def _band_better(indptr, indices, rg, block_rows) -> bool:
         """auto mode: keep RCM only if it raises the in-band fraction."""
         n = len(indptr) - 1
-        deg = np.asarray(indptr)[1:] - np.asarray(indptr)[:-1]
 
         def frac(ip, ix):
             rows = np.repeat(np.arange(n, dtype=np.int64),
@@ -215,7 +223,6 @@ class DistFullBatchGraph:
                 return 0.0
             return float((np.abs(cols[ok] - rows[ok]) <= block_rows).mean())
 
-        del deg
         return frac(rg.indptr, rg.indices) > frac(indptr, indices)
 
     # -- node-order / placement helpers ----------------------------------
@@ -305,7 +312,7 @@ class DistFullBatchGraph:
         transpose ELL row-sharded, fallback edges bucketed BY DST (for
         the forward + dst-side backward) and BY SRC (for the src-side
         backward)."""
-        if getattr(self, "_attn", None) is None:
+        if self._attn is None:
             from cugraph_gnn_tpu.ops.pallas.slab_attn_grad import (
                 build_attention_slab_pair)
             pair = build_attention_slab_pair(
@@ -325,33 +332,19 @@ class DistFullBatchGraph:
             fb_d = np.asarray(pair.fwd.fb_dst)
             d_src, d_dst = _bucket_fallback(fb_s, fb_d, self._rs,
                                             self._world)
-            # src-bucketed copy (keep GLOBAL dst ids: the src-side body
-            # gathers dst-row quantities remotely)
-            valid = (fb_s >= 0) & (fb_d >= 0)
-            s_src = np.full((self._world, 1), -1, np.int32)
-            s_dst = np.full((self._world, 1), -1, np.int32)
-            if valid.any():
-                vs, vd = fb_s[valid], fb_d[valid]
-                shard = vs // self._rs
-                cap = int(np.bincount(shard, minlength=self._world)
-                          .max(initial=0))
-                cap = max(-(-cap // 128) * 128, 128)
-                s_src = np.full((self._world, cap), -1, np.int32)
-                s_dst = np.full((self._world, cap), -1, np.int32)
-                for w in range(self._world):
-                    sel = shard == w
-                    k = int(sel.sum())
-                    s_src[w, :k] = vs[sel] - w * self._rs  # local src
-                    s_dst[w, :k] = vd[sel]                 # global dst
+            # src-bucketed copy: local src ids, GLOBAL dst ids (the
+            # src-side backward gathers dst-row quantities remotely)
+            s_src, s_dst = _bucket_fallback(fb_s, fb_d, self._rs,
+                                            self._world, bucket_by="src",
+                                            localize="src")
             self._attn = dict(
                 ell=padded(np.asarray(pair.fwd.ell)),
                 t_ell=padded(np.asarray(pair.t_ell)),
                 fb_dst_bucketed=(put_global(d_src, sh),
                                  put_global(d_dst, sh)),
-                fb_src_bucketed=(put_global(s_src.reshape(-1), sh),
-                                 put_global(s_dst.reshape(-1), sh)),
+                fb_src_bucketed=(put_global(s_src, sh),
+                                 put_global(s_dst, sh)),
             )
-            self._diff_attn = {}
         return self._attn
 
     def _attn_fwd_sharded(self, x, alpha_dst, alpha_src, negative_slope):
@@ -375,9 +368,13 @@ class DistFullBatchGraph:
             rs, f = x_local.shape
             nb_local = rs // r_blk
             x_ext = _halo_exchange(x_local, r_blk, axis, world)
-            as_ext = _halo_exchange(
-                jnp.broadcast_to(as_local.astype(jnp.float32)[:, None],
-                                 (rs, 128)), r_blk, axis, world)
+            # exchange the (rs,) scalars, lane-replicate AFTER the
+            # ppermute (128x less ICI volume than exchanging the
+            # broadcast array)
+            as_e = _halo_exchange(as_local.astype(jnp.float32), r_blk,
+                                  axis, world)
+            as_ext = jnp.broadcast_to(as_e[:, None],
+                                      (rs + 2 * r_blk, 128))
             ad_l = jnp.broadcast_to(
                 ad_local.astype(jnp.float32)[:, None], (rs, 128))
             kern = ft.partial(_slab_attn_kernel, k_w, negative_slope,
@@ -466,16 +463,19 @@ class DistFullBatchGraph:
             rs, f = x_l.shape
             nb_local = rs // r_blk
             s_safe = jnp.maximum(s_l, 1e-16)
-            stats = jnp.zeros((rs, 128), jnp.float32)
-            for lane, v in ((AD, ad_l), (M, m_l), (S, s_safe), (T, t_l),
-                            (AS, as_l)):
-                stats = stats.at[:, lane].set(v.astype(jnp.float32))
-            st_ext = _halo_exchange(stats, r_blk, axis, world)
+            # exchange only the 5 useful stat lanes (padded to 8),
+            # widen to the kernel's 128-lane layout after the ppermute
+            stats8 = jnp.stack(
+                [v.astype(jnp.float32)
+                 for v in (ad_l, m_l, s_safe, t_l, as_l)]
+                + [jnp.zeros((rs,), jnp.float32)] * 3, axis=1)  # (rs, 8)
+            st_e = _halo_exchange(stats8, r_blk, axis, world)
             # halo rows from boundary zeros: keep the S lane nonzero
-            st_ext = st_ext.at[:r_blk, S].set(
-                jnp.maximum(st_ext[:r_blk, S], 1e-16))
-            st_ext = st_ext.at[-r_blk:, S].set(
-                jnp.maximum(st_ext[-r_blk:, S], 1e-16))
+            st_e = st_e.at[:r_blk, S].set(
+                jnp.maximum(st_e[:r_blk, S], 1e-16))
+            st_e = st_e.at[-r_blk:, S].set(
+                jnp.maximum(st_e[-r_blk:, S], 1e-16))
+            st_ext = jnp.pad(st_e, ((0, 0), (0, 120)))
             x_ext = _halo_exchange(x_l.astype(jnp.float32), r_blk, axis,
                                    world)
             g_ext = _halo_exchange(g_l.astype(jnp.float32), r_blk, axis,
@@ -588,17 +588,263 @@ class DistFullBatchGraph:
             self._diff_attn[key] = f
         return self._diff_attn[key](x, alpha_dst, alpha_src)
 
+    def _attn_fwd_sharded_mh(self, x2, alpha_dst, alpha_src, heads, fh,
+                             negative_slope):
+        """Multi-head sharded forward: x2 (N_pad, H*F) row-sharded,
+        alphas (N_pad, H).  One kernel pass over all heads per shard
+        (adjacency reconstruction amortized, single halo round)."""
+        st = self._attn_structs()
+        interpret = jax.default_backend() != "tpu"
+        r_blk, world, axis, book = (self._r_blk, self._world, self.axis,
+                                    self._book)
+        k_w = st["ell"].shape[1]
+        fb_src, fb_dst = st["fb_dst_bucketed"]
+
+        def body(ell_local, x_local, ad_local, as_local, fb_s, fb_d):
+            import functools as ft
+
+            from jax.experimental import pallas as pl
+
+            from cugraph_gnn_tpu.ops.pallas.slab_kernel import (
+                _slab_attn_mh_kernel)
+
+            rs, hf = x_local.shape
+            nb_local = rs // r_blk
+            x_ext = _halo_exchange(x_local, r_blk, axis, world)
+            as_e = _halo_exchange(as_local.astype(jnp.float32), r_blk,
+                                  axis, world)                  # (rs+2R, H)
+            as_ext = jnp.pad(as_e, ((0, 0), (0, 128 - heads)))
+            ad_l = jnp.pad(ad_local.astype(jnp.float32),
+                           ((0, 0), (0, 128 - heads)))
+            kern = ft.partial(_slab_attn_mh_kernel, k_w, heads, fh,
+                              negative_slope, jnp.float32)
+            sl = [pl.BlockSpec((r_blk, 128), lambda b, o=o: (b + o, 0))
+                  for o in range(3)]
+            xl = [pl.BlockSpec((r_blk, hf), lambda b, o=o: (b + o, 0))
+                  for o in range(3)]
+            u, m_b, s_b = pl.pallas_call(
+                kern, grid=(nb_local,),
+                in_specs=[pl.BlockSpec((r_blk, k_w), lambda b: (b, 0)),
+                          pl.BlockSpec((r_blk, 128), lambda b: (b, 0))]
+                + sl + xl,
+                out_specs=[pl.BlockSpec((r_blk, hf), lambda b: (b, 0)),
+                           pl.BlockSpec((r_blk, 128), lambda b: (b, 0)),
+                           pl.BlockSpec((r_blk, 128), lambda b: (b, 0))],
+                out_shape=[jax.ShapeDtypeStruct((rs, hf), jnp.float32),
+                           jax.ShapeDtypeStruct((rs, 128), jnp.float32),
+                           jax.ShapeDtypeStruct((rs, 128), jnp.float32)],
+                interpret=interpret,
+            )(ell_local, ad_l, as_ext, as_ext, as_ext, x_ext, x_ext,
+              x_ext)
+            u = u.reshape(rs, heads, fh)
+            m_b, s_b = m_b[:, :heads], s_b[:, :heads]
+            m_out = m_b
+
+            if fb_s.shape[0]:
+                xa_local = jnp.concatenate(
+                    [x_local.astype(jnp.float32),
+                     as_local.astype(jnp.float32)], axis=1)
+                xa = _dist_gather_shard(xa_local, fb_s, book=book,
+                                        axis=axis, fill=0)
+                x_fb = xa[:, :hf].reshape(-1, heads, fh)
+                as_fb = xa[:, hf:]                              # (cap, H)
+                valid = (fb_s >= 0) & (fb_d >= 0)
+                dv = jnp.where(valid, fb_d, rs)
+                d0 = jnp.where(valid, fb_d, 0)
+                e = ad_local.astype(jnp.float32)[d0] + as_fb    # (cap, H)
+                e = jnp.where(e >= 0, e, jnp.float32(negative_slope) * e)
+                e = jnp.where(valid[:, None], e, -jnp.inf)
+                m_f_seg = jax.ops.segment_max(
+                    e, dv, num_segments=rs + 1)[:rs]
+                m_f = jnp.where(jnp.isfinite(m_f_seg), m_f_seg, 0.0)
+                p = jnp.where(valid[:, None], jnp.exp(e - m_f[d0]), 0.0)
+                s_f = jax.ops.segment_sum(p, dv, num_segments=rs + 1)[:rs]
+                u_f = jax.ops.segment_sum(
+                    p[:, :, None] * x_fb, dv, num_segments=rs + 1)[:rs]
+                m = jnp.maximum(m_b, m_f)
+                wb = jnp.where(s_b > 0, jnp.exp(m_b - m), 0.0)
+                wf = jnp.where(s_f > 0, jnp.exp(m_f - m), 0.0)
+                u = u * wb[..., None] + u_f * wf[..., None]
+                s_b = s_b * wb + s_f * wf
+                m_out = m
+            out = u / jnp.maximum(s_b, 1e-16)[..., None]
+            return out.reshape(rs, hf), m_out, s_b
+
+        p = P(self.axis)
+        return jax.shard_map(
+            body, mesh=self.mesh, in_specs=(p,) * 6,
+            out_specs=(p, p, p), check_vma=False,
+        )(st["ell"], x2, alpha_dst, alpha_src, fb_src, fb_dst)
+
+    def _attn_bwd_sharded_mh(self, x2, alpha_dst, alpha_src, m, s, t, g2,
+                             heads, fh, negative_slope):
+        """Multi-head sharded backward: packed per-head stat lanes
+        (slot*H + h), single halo round, fused kernels over all heads;
+        src-bucketed fallback with remote dst quantities."""
+        st = self._attn_structs()
+        interpret = jax.default_backend() != "tpu"
+        r_blk, world, axis, book = (self._r_blk, self._world, self.axis,
+                                    self._book)
+        k_f = st["ell"].shape[1]
+        k_t = st["t_ell"].shape[1]
+        fb_src_l, fb_dst_g = st["fb_src_bucketed"]
+
+        def body(ell_l, tell_l, x_l, ad_l, as_l, m_l, s_l, t_l, g_l,
+                 fb_s, fb_d):
+            import functools as ft
+
+            from jax.experimental import pallas as pl
+
+            from cugraph_gnn_tpu.ops.pallas.slab_attn_grad import (
+                _bwd_dst_kernel_mh, _bwd_src_kernel_mh)
+
+            rs, hf = x_l.shape
+            nb_local = rs // r_blk
+            s_safe = jnp.maximum(s_l, 1e-16)
+            # lane layout slot*H + h (matches the mh kernels)
+            stats = jnp.concatenate(
+                [v.astype(jnp.float32)
+                 for v in (ad_l, m_l, s_safe, t_l, as_l)],
+                axis=1)                                        # (rs, 5H)
+            st_e = _halo_exchange(stats, r_blk, axis, world)
+            ones = jnp.ones((r_blk, heads), jnp.float32) * 1e-16
+            st_e = st_e.at[:r_blk, 2 * heads:3 * heads].set(
+                jnp.maximum(st_e[:r_blk, 2 * heads:3 * heads], ones))
+            st_e = st_e.at[-r_blk:, 2 * heads:3 * heads].set(
+                jnp.maximum(st_e[-r_blk:, 2 * heads:3 * heads], ones))
+            st_ext = jnp.pad(st_e, ((0, 0), (0, 128 - 5 * heads)))
+            x_ext = _halo_exchange(x_l.astype(jnp.float32), r_blk, axis,
+                                   world)
+            g_ext = _halo_exchange(g_l.astype(jnp.float32), r_blk, axis,
+                                   world)
+
+            def ell_spec(width):
+                return pl.BlockSpec((r_blk, width), lambda b: (b, 0))
+
+            def blk_spec(width):
+                return pl.BlockSpec((r_blk, width), lambda b: (b + 1, 0))
+
+            def slabs(width):
+                return [pl.BlockSpec((r_blk, width),
+                                     lambda b, o=o: (b + o, 0))
+                        for o in range(3)]
+
+            dad = pl.pallas_call(
+                ft.partial(_bwd_dst_kernel_mh, k_f, heads, fh,
+                           negative_slope),
+                grid=(nb_local,),
+                in_specs=[ell_spec(k_f), blk_spec(128)] + slabs(128)
+                + [blk_spec(hf)] + slabs(hf),
+                out_specs=ell_spec(128),
+                out_shape=jax.ShapeDtypeStruct((rs, 128), jnp.float32),
+                interpret=interpret,
+            )(ell_l, st_ext, st_ext, st_ext, st_ext, g_ext,
+              x_ext, x_ext, x_ext)[:, :heads]
+
+            dx, das = pl.pallas_call(
+                ft.partial(_bwd_src_kernel_mh, k_t, heads, fh,
+                           negative_slope),
+                grid=(nb_local,),
+                in_specs=[ell_spec(k_t), blk_spec(128)] + slabs(128)
+                + [blk_spec(hf)] + slabs(hf),
+                out_specs=[ell_spec(hf), ell_spec(128)],
+                out_shape=[jax.ShapeDtypeStruct((rs, hf), jnp.float32),
+                           jax.ShapeDtypeStruct((rs, 128), jnp.float32)],
+                interpret=interpret,
+            )(tell_l, st_ext, st_ext, st_ext, st_ext, x_ext,
+              g_ext, g_ext, g_ext)
+            das = das[:, :heads]
+
+            if fb_s.shape[0]:
+                gq_local = jnp.concatenate(
+                    [g_l.astype(jnp.float32),
+                     ad_l.astype(jnp.float32), m_l, s_safe, t_l], axis=1)
+                gq = _dist_gather_shard(gq_local, fb_d, book=book,
+                                        axis=axis, fill=0)
+                g_d = gq[:, :hf].reshape(-1, heads, fh)
+                ad_d = gq[:, hf:hf + heads]
+                m_d = gq[:, hf + heads:hf + 2 * heads]
+                s_d = gq[:, hf + 2 * heads:hf + 3 * heads]
+                t_d = gq[:, hf + 3 * heads:hf + 4 * heads]
+                valid = (fb_s >= 0) & (fb_d >= 0)
+                sv = jnp.where(valid, fb_s, 0)
+                seg_s = jnp.where(valid, fb_s, rs)
+                as32 = as_l.astype(jnp.float32)
+                z = ad_d + as32[sv]                             # (cap, H)
+                lr = jnp.where(z >= 0, z, jnp.float32(negative_slope) * z)
+                a_e = jnp.where(valid[:, None],
+                                jnp.exp(lr - m_d)
+                                / jnp.maximum(s_d, 1e-16), 0.0)
+                x_s = x_l.astype(jnp.float32).reshape(
+                    rs, heads, fh)[sv]                          # (cap,H,F)
+                gx = jnp.sum(g_d * x_s, axis=-1)                # (cap, H)
+                dz = jnp.where(z >= 0, 1.0, jnp.float32(negative_slope))
+                de = a_e * (gx - t_d) * dz
+                dx = dx + jax.ops.segment_sum(
+                    (a_e[..., None] * g_d).reshape(-1, hf), seg_s,
+                    num_segments=rs + 1)[:rs]
+                das = das + jax.ops.segment_sum(
+                    de, seg_s, num_segments=rs + 1)[:rs]
+                dad = _dist_scatter_shard(
+                    dad, fb_d, de, book=book, axis=axis, mode="add")
+            return dx, dad, das
+
+        p = P(self.axis)
+        return jax.shard_map(
+            body, mesh=self.mesh, in_specs=(p,) * 11,
+            out_specs=(p, p, p), check_vma=False,
+        )(st["ell"], st["t_ell"], x2, alpha_dst, alpha_src, m, s, t, g2,
+          fb_src_l, fb_dst_g)
+
     def attention_spmm_mh(self, x, alpha_dst, alpha_src, *,
                           negative_slope: float = 0.2):
         """Multi-head surface (model-zoo GATConv.full_graph contract):
-        per-head loop over the sharded single-head path.  x (N_pad, H,
-        F) row-sharded; alphas (N_pad, H)."""
-        heads = x.shape[1]
-        return jnp.stack([
-            self.attention_spmm(x[:, h], alpha_dst[:, h], alpha_src[:, h],
-                                negative_slope=negative_slope)
-            for h in range(heads)
-        ], axis=1)
+        x (N_pad, H, F) row-sharded; alphas (N_pad, H).  All heads run
+        in ONE sharded kernel pass per direction (single halo round,
+        adjacency amortized — same win as the single-chip mh path);
+        heads beyond the packed-lane budget fall back to the per-head
+        loop."""
+        from cugraph_gnn_tpu.ops.pallas.slab_attn_grad import (
+            MAX_PACKED_HEADS)
+        heads, fh = x.shape[1], x.shape[2]
+        if heads > MAX_PACKED_HEADS:
+            return jnp.stack([
+                self.attention_spmm(x[:, h], alpha_dst[:, h],
+                                    alpha_src[:, h],
+                                    negative_slope=negative_slope)
+                for h in range(heads)
+            ], axis=1)
+        key = ("attn_mh", heads, fh, negative_slope)
+        if key not in self._diff_attn:
+            self._attn_structs()
+            n_pad = self._n_pad
+
+            @jax.custom_vjp
+            def f(x2, ad, asx):
+                out, _, _ = self._attn_fwd_sharded_mh(
+                    x2, ad, asx, heads, fh, negative_slope)
+                return out
+
+            def fwd(x2, ad, asx):
+                out, m, s = self._attn_fwd_sharded_mh(
+                    x2, ad, asx, heads, fh, negative_slope)
+                return out, (x2, ad, asx, out, m, s)
+
+            def bwd(res, g):
+                x2, ad, asx, out, m, s = res
+                t = jnp.sum(
+                    (g.astype(jnp.float32) * out).reshape(
+                        n_pad, heads, fh), axis=-1)             # (N, H)
+                dx, dad, das = self._attn_bwd_sharded_mh(
+                    x2, ad, asx, m, s, t, g, heads, fh, negative_slope)
+                return (dx.astype(x2.dtype), dad.astype(ad.dtype),
+                        das.astype(asx.dtype))
+
+            f.defvjp(fwd, bwd)
+            self._diff_attn[key] = f
+        x2 = x.reshape(x.shape[0], heads * fh)
+        out = self._diff_attn[key](x2, alpha_dst, alpha_src)
+        return out.reshape(x.shape[0], heads, fh)
 
     @classmethod
     def from_coo(cls, src, dst, num_nodes: int, mesh, **kw):

@@ -137,16 +137,16 @@ def main():
         return optax.apply_updates(params, u), opt, loss, acc
 
     for epoch in range(args.epochs):
-        tot = nb = 0.0
-        acc = 0.0
+        tot = acc_tot = nb = 0.0
         for b in loader:
             params, opt, loss, acc = step(
                 params, opt, b.sample, rels_of(b.sample),
                 b.edge_label_index, b.edge_label, b.seeds)
             tot += float(loss)
+            acc_tot += float(acc)
             nb += 1
         print(f"epoch {epoch}: loss {tot / max(nb, 1):.4f} "
-              f"acc {float(acc):.3f}")
+              f"acc {acc_tot / max(nb, 1):.3f}")
 
 
 if __name__ == "__main__":

@@ -154,6 +154,45 @@ def test_dist_attention_grads_match_reference(mesh):
                                    rtol=2e-4, atol=2e-4, err_msg=name)
 
 
+def test_dist_attention_mh_matches_per_head(mesh):
+    """Fused sharded multi-head path == per-head sharded calls, fwd and
+    all three gradients."""
+    rng = np.random.default_rng(14)
+    n, f, h = 500, 8, 3
+    src, dst = make_graph(n, 4, 50, rng, frac_far=0.2)
+    indptr, indices, _ = build_csr(dst, src, n)
+    dfbg = DistFullBatchGraph(indptr, indices, mesh, reorder="none",
+                              block_rows=128)
+    x = rng.standard_normal((n, h, f)).astype(np.float32)
+    a_d = rng.standard_normal((n, h)).astype(np.float32)
+    a_s = rng.standard_normal((n, h)).astype(np.float32)
+    g = rng.standard_normal((n, h, f)).astype(np.float32)
+    xs, ads, ass = dfbg.shard(x), dfbg.shard(a_d), dfbg.shard(a_s)
+    g_pad = dfbg.shard(g)
+
+    out_mh = dfbg.unshard(dfbg.attention_spmm_mh(xs, ads, ass))
+    for hh in range(h):
+        want = dfbg.unshard(dfbg.attention_spmm(
+            xs[:, hh], ads[:, hh], ass[:, hh]))
+        np.testing.assert_allclose(out_mh[:, hh], want, rtol=2e-4,
+                                   atol=2e-4, err_msg=f"fwd head {hh}")
+
+    def loss_mh(xs, ad, asx):
+        return jnp.sum(dfbg.attention_spmm_mh(xs, ad, asx) * g_pad)
+
+    def loss_ph(xs, ad, asx):
+        return sum(
+            jnp.sum(dfbg.attention_spmm(xs[:, hh], ad[:, hh], asx[:, hh])
+                    * g_pad[:, hh])
+            for hh in range(h))
+
+    got = jax.grad(loss_mh, argnums=(0, 1, 2))(xs, ads, ass)
+    want = jax.grad(loss_ph, argnums=(0, 1, 2))(xs, ads, ass)
+    for gi, wi, name in zip(got, want, ("dx", "dalpha_dst", "dalpha_src")):
+        np.testing.assert_allclose(dfbg.unshard(gi), dfbg.unshard(wi),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
 def test_dist_gat_full_graph_trains(mesh):
     """GAT.full_graph (multi-head surface) trains over the mesh."""
     import optax
