@@ -110,27 +110,20 @@ class DistNeighborLoader:
 
         self.input_type = None
         if self.hetero:
-            from cugraph_gnn_tpu.data.graph_store import edge_type_str
+            from cugraph_gnn_tpu.loader.node_loader import (
+                collect_edge_attrs_by_etype,
+            )
             from cugraph_gnn_tpu.sampler.hetero_dist import (
                 HeteroDistGraph,
                 HeteroDistNeighborSampler,
             )
 
             def collect(attr):
-                if attr is None:
+                d = collect_edge_attrs_by_etype(
+                    feature_store, graph_store, graph, attr)
+                if d is None:
                     return None
-                out = {}
-                for et in graph.etypes:
-                    ekey = edge_type_str(et)
-                    if (ekey, attr) in feature_store:
-                        out[et] = np.asarray(_edge_attr_to_csr_order(
-                            graph_store, graph, et,
-                            feature_store.get_tensor(ekey, attr)))
-                if not out:
-                    raise KeyError(
-                        f"no edge type has attribute {attr!r} in the "
-                        "feature store (keys are (edge_type_str, attr))")
-                return out
+                return {et: np.asarray(v) for et, v in d.items()}
 
             self.dist_graph = HeteroDistGraph.from_sampling_graph(
                 graph, mesh, axis=axis,
@@ -387,11 +380,19 @@ class DistLinkNeighborLoader:
                  time_attr: Optional[str] = None, x_attr: str = "x",
                  seed: int = 0, dedup: bool = False,
                  max_unique_per_hop: Optional[Sequence[int]] = None,
-                 reject_true_edges: bool = False, axis: str = STORE_AXIS):
+                 reject_true_edges: bool = False, axis: str = STORE_AXIS,
+                 edge_label_time=None):
         from cugraph_gnn_tpu.sampler.negative import (
             NegativeSampling,
             make_edge_key_sorted,
         )
+        if time_attr is not None and edge_label_time is None:
+            raise ValueError(
+                "time_attr requires edge_label_time (per-seed-edge "
+                "times); without it temporal sampling has no seed "
+                "times and would silently run uniform")
+        self.edge_label_time = (None if edge_label_time is None
+                                else np.asarray(edge_label_time))
         _, graph_store = data
         self.edge_type = None
         if (isinstance(edge_label_index, tuple)
@@ -487,7 +488,27 @@ class DistLinkNeighborLoader:
             seeds[2 * b + n_neg:2 * b + 2 * n_neg] = off(nd, self.dst_offset)
             seeds_j = put_global(seeds.astype(np.int32),
                                  self._nl._sharding)
-            sample, x, _ = self._nl.step(jax.random.fold_in(kk, 2), seeds_j)
+            node_times = None
+            if self.edge_label_time is not None:
+                # every seed slot inherits its edge's time (negatives
+                # cycle the positives' times — see link_loader.py)
+                t = np.zeros((b,), self.edge_label_time.dtype)
+                t[: len(sel)] = self.edge_label_time[sel]
+                if not n_neg:
+                    neg_t = np.zeros((0,), t.dtype)
+                elif self.neg is not None and self.neg.mode == "triplet":
+                    amount = max(int(self.neg.amount), 1)
+                    neg_t = np.repeat(t, amount)[:n_neg]
+                else:
+                    neg_t = np.tile(t, -(-n_neg // b))[:n_neg]
+                times = np.zeros((s_cnt,), t.dtype)
+                times[:b] = t
+                times[b:2 * b] = t
+                times[2 * b:2 * b + n_neg] = neg_t
+                times[2 * b + n_neg:2 * b + 2 * n_neg] = neg_t
+                node_times = put_global(times, self._nl._sharding)
+            sample, x, _ = self._nl.step(jax.random.fold_in(kk, 2), seeds_j,
+                                         node_times)
             pos_idx = jnp.stack([
                 jnp.arange(b, dtype=jnp.int32),
                 jnp.arange(b, dtype=jnp.int32) + b])

@@ -53,10 +53,13 @@ def draw_negatives(key, ps, n_neg, num_src, num_dst, neg,
     if neg.mode == "triplet":
         amount = max(int(neg.amount), 1)
         ns = jnp.repeat(jnp.asarray(ps, jnp.int32), amount)[:n_neg]
-        _, nd = sample_negative_edges(key, num_src, num_dst, n_neg, neg,
-                                      edge_key_sorted)
-        # invalidate negatives whose source is padding
-        nd = jnp.where(ns >= 0, nd, -1)
+        # pin the positive sources so true-edge rejection tests the
+        # ACTUAL (ns, nd) pairs
+        ns_out, nd = sample_negative_edges(key, num_src, num_dst, n_neg,
+                                           neg, edge_key_sorted, src=ns)
+        # invalidate negatives whose source is padding; keep ns (the
+        # rejection may mark unresolved rows -1 in ns_out)
+        nd = jnp.where((ns >= 0) & (ns_out >= 0), nd, -1)
         return ns, nd
     return sample_negative_edges(key, num_src, num_dst, n_neg, neg,
                                  edge_key_sorted)
@@ -82,9 +85,15 @@ class LinkLoader:
                  neg_sampling: Optional[NegativeSampling] = None,
                  batch_size: int = 512, shuffle: bool = False,
                  drop_last: bool = False, x_attr: str = "x",
-                 reject_true_edges: bool = False, seed: int = 0):
+                 reject_true_edges: bool = False, seed: int = 0,
+                 edge_label_time=None):
         self.feature_store, self.graph_store = data
         self.sampler = sampler
+        # per-seed-edge times (PyG edge_label_time): drives temporal
+        # sampling around both endpoints (ref link_neighbor_loader.py
+        # temporal configuration)
+        self.edge_label_time = (None if edge_label_time is None
+                                else np.asarray(edge_label_time))
         # PyG hetero form: (edge_type, (2, E)) with type-local ids.
         self.edge_type = None
         if (isinstance(edge_label_index, tuple) and len(edge_label_index) == 2
@@ -160,7 +169,26 @@ class LinkLoader:
             seeds = jnp.concatenate([
                 _off(ps, self.src_offset), _off(pd, self.dst_offset),
                 _off(ns, self.src_offset), _off(nd, self.dst_offset)])
-            sample = self.sampler.sample(jax.random.fold_in(kk, 2), seeds)
+            if self.edge_label_time is not None:
+                # each seed slot inherits its edge's time; negatives
+                # cycle the batch's positive times (PyG semantics)
+                t = np.zeros((b,), self.edge_label_time.dtype)
+                t[: len(sel)] = self.edge_label_time[sel]
+                t = jnp.asarray(t)
+                if not n_neg:
+                    neg_t = jnp.zeros((0,), t.dtype)
+                elif self.neg is not None and self.neg.mode == "triplet":
+                    # negatives repeat their positive's time
+                    amount = max(int(self.neg.amount), 1)
+                    neg_t = jnp.repeat(t, amount)[:n_neg]
+                else:
+                    neg_t = jnp.tile(t, -(-n_neg // b))[:n_neg]
+                times = jnp.concatenate([t, t, neg_t, neg_t])
+                sample = self.sampler.sample(
+                    jax.random.fold_in(kk, 2), seeds, node_times=times)
+            else:
+                sample = self.sampler.sample(
+                    jax.random.fold_in(kk, 2), seeds)
             # local positions in the seed layout
             pos_idx = jnp.stack([
                 jnp.arange(b, dtype=jnp.int32),
@@ -193,6 +221,11 @@ class LinkNeighborLoader(LinkLoader):
                  neg_sampling=None, batch_size: int = 512,
                  weight_attr=None, time_attr=None, **kwargs):
         feature_store, graph_store = data
+        if time_attr is not None and kwargs.get("edge_label_time") is None:
+            raise ValueError(
+                "time_attr requires edge_label_time (per-seed-edge "
+                "times); without it temporal sampling has no seed "
+                "times and would silently run uniform")
         sampler = build_neighbor_sampler(
             feature_store, graph_store, num_neighbors,
             weight_attr=weight_attr, time_attr=time_attr)

@@ -220,6 +220,13 @@ def build_neighbor_sampler(feature_store, graph_store, num_neighbors,
     graph = graph_store.finalize()
     if disjoint and not graph.is_homogeneous:
         raise NotImplementedError("disjoint hetero sampling")
+    if max_unique_per_hop is not None and not graph.is_homogeneous:
+        # HeteroNeighborSampler has no level-capacity budget yet; an
+        # explicit error beats silently dropping the memory knob.
+        raise NotImplementedError(
+            "max_unique_per_hop is not supported for heterogeneous "
+            "stores (per-type level capacities are not implemented); "
+            "omit it or use the homogeneous path")
     if graph.is_homogeneous:
         indptr, indices = graph.homogeneous_csr()
         et = graph.etypes[0]
@@ -246,27 +253,11 @@ def build_neighbor_sampler(feature_store, graph_store, num_neighbors,
             sampler = DisjointNeighborSampler(sampler)
         return sampler
 
-    from cugraph_gnn_tpu.data.graph_store import edge_type_str
     from cugraph_gnn_tpu.sampler.hetero import HeteroNeighborSampler
 
-    # weight_attr -> biased, time_attr -> temporal, per edge type
-    # (ref neighbor_loader.py:173-190 pulls the edge property
-    # tensors from the feature store keyed by edge type).
     def _collect(attr):
-        if attr is None:
-            return None
-        out = {}
-        for et in graph.etypes:
-            ekey = edge_type_str(et)
-            if (ekey, attr) in feature_store:
-                v = feature_store.get_tensor(ekey, attr)
-                out[et] = _edge_attr_to_csr_order(
-                    graph_store, graph, et, v)
-        if not out:
-            raise KeyError(
-                f"no edge type has attribute {attr!r} in the "
-                "feature store (keys are (edge_type_str, attr))")
-        return out
+        return collect_edge_attrs_by_etype(
+            feature_store, graph_store, graph, attr)
 
     return HeteroNeighborSampler(
         graph, num_neighbors,
@@ -279,3 +270,26 @@ def _edge_attr_to_csr_order(graph_store: GraphStore, graph, et, attr):
     its position after the sort — re-order once at load (the graph
     retains each edge type's sort permutation)."""
     return graph.edge_attr_to_csr_order(et, attr)
+
+
+def collect_edge_attrs_by_etype(feature_store, graph_store, graph, attr):
+    """Pull a per-edge attribute for every edge type that has it, in CSR
+    edge-id order (weight_attr -> biased, time_attr -> temporal; ref
+    neighbor_loader.py:173-190 pulls edge property tensors from the
+    feature store keyed by edge type).  Shared by the single-chip and
+    distributed hetero loaders."""
+    from cugraph_gnn_tpu.data.graph_store import edge_type_str
+
+    if attr is None:
+        return None
+    out = {}
+    for et in graph.etypes:
+        ekey = edge_type_str(et)
+        if (ekey, attr) in feature_store:
+            out[et] = _edge_attr_to_csr_order(
+                graph_store, graph, et, feature_store.get_tensor(ekey, attr))
+    if not out:
+        raise KeyError(
+            f"no edge type has attribute {attr!r} in the "
+            "feature store (keys are (edge_type_str, attr))")
+    return out

@@ -35,9 +35,15 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         _tried = True
         try:
-            # make is a fast no-op when the .so is newer than the sources
-            subprocess.run(["make", "-C", _CPP_DIR], check=True,
-                           capture_output=True)
+            # make is a fast no-op when the .so is newer than the
+            # sources; a missing/failed toolchain must NOT disable a
+            # prebuilt .so, so only require make when none exists yet
+            try:
+                subprocess.run(["make", "-C", _CPP_DIR], check=True,
+                               capture_output=True)
+            except Exception:
+                if not os.path.exists(_LIB_PATH):
+                    raise
             lib = ctypes.CDLL(_LIB_PATH)
             lib.build_csr_i32.argtypes = [
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),

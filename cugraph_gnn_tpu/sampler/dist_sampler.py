@@ -51,12 +51,6 @@ from cugraph_gnn_tpu.store.partition import PartitionBook
 _LINE = 128  # 512B HBM line, 4-byte elements (ops/window_gather.py)
 
 
-def _pad_rows(a: np.ndarray, width: int, fill) -> np.ndarray:
-    out = np.full((a.shape[0], width), fill, a.dtype)
-    out[:, : a.shape[1]] = a
-    return out
-
-
 class DistGraph(NamedTuple):
     """Row-sharded CSR on a mesh.
 
@@ -239,6 +233,11 @@ class DistNeighborSampler:
             for h in range(len(self.fanouts)):
                 caps[h + 1] = min(caps[h + 1],
                                   caps[h] * (self.fanouts[h] + 1))
+                if caps[h + 1] < caps[h]:
+                    raise ValueError(
+                        f"max_unique_per_hop[{h}]={caps[h + 1]} is "
+                        f"smaller than level {h}'s capacity {caps[h]}; "
+                        "targets are a prefix of the next level")
         return caps
 
     def sample_shard_fn(self, local_batch: int):

@@ -113,6 +113,12 @@ class HeteroDistNeighborSampler:
         if self.max_unique_per_hop is not None:
             for h, cap in enumerate(self.max_unique_per_hop):
                 caps[h + 1] = min(caps[h + 1], int(cap))
+            for h in range(self.num_hops):
+                if caps[h + 1] < caps[h]:
+                    raise ValueError(
+                        f"max_unique_per_hop[{h}]={caps[h + 1]} is "
+                        f"smaller than level {h}'s capacity {caps[h]}; "
+                        "targets are a prefix of the next level")
         return caps
 
     def sample_shard_fn(self, local_batch: int):

@@ -43,7 +43,8 @@ def sample_negative_edges(key, num_src: int, num_dst: int, count: int,
                           edge_key_sorted: Optional[jax.Array] = None,
                           node_time: Optional[jax.Array] = None,
                           seed_time: Optional[jax.Array] = None,
-                          time_retries: int = 10):
+                          time_retries: int = 10,
+                          src: Optional[jax.Array] = None):
     """Draw ``count`` negative (src, dst) pairs.
 
     edge_key_sorted: optional sorted array of src*num_dst+dst keys of the
@@ -56,9 +57,16 @@ def sample_negative_edges(key, num_src: int, num_dst: int, count: int,
     for a positive with seed time t must satisfy node_time[d] <= t.
     Violating draws are re-drawn up to ``time_retries`` times via a
     static lax.scan; survivors are marked -1 for callers to mask.
+
+    src: optional pinned sources (triplet mode — corrupted destinations
+    per given positive source); true-edge rejection then tests the
+    ACTUAL (src, dst) pairs.  Drawn from src_weight when omitted.
     """
     k1, k2, k3, k4 = jax.random.split(key, 4)
-    src = _weighted_choice(k1, num_src, (count,), config.src_weight)
+    if src is None:
+        src = _weighted_choice(k1, num_src, (count,), config.src_weight)
+    else:
+        src = jnp.asarray(src, jnp.int32)
     dst = _weighted_choice(k2, num_dst, (count,), config.dst_weight)
     if node_time is not None and seed_time is not None:
         node_time = jnp.asarray(node_time)

@@ -205,6 +205,16 @@ class NeighborSampler:
             for h in range(len(self.fanouts)):
                 caps[h + 1] = min(caps[h + 1],
                                   caps[h] * (self.fanouts[h] + 1))
+                if caps[h + 1] < caps[h]:
+                    # level h's targets are a PREFIX of level h+1;
+                    # a smaller cap would truncate targets and emit
+                    # neighbor_map indices past the level array
+                    raise ValueError(
+                        f"max_unique_per_hop[{h}]={caps[h + 1]} is "
+                        f"smaller than level {h}'s capacity {caps[h]}; "
+                        "each level must hold at least the previous "
+                        "level (targets are a prefix of the next "
+                        "level)")
         levels = [seeds.astype(jnp.int32)]
         level_counts = [jnp.sum(seeds >= 0).astype(jnp.int32)]
         seed_time = node_times

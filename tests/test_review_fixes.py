@@ -1,0 +1,121 @@
+"""Regression tests for the round-2 self-review findings: triplet
+true-edge rejection, temporal link loading, capacity validation, and
+the hetero max_unique_per_hop guard."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cugraph_gnn_tpu.data import FeatureStore, GraphStore
+from cugraph_gnn_tpu.loader.link_loader import LinkNeighborLoader
+from cugraph_gnn_tpu.sampler import NeighborSampler
+from cugraph_gnn_tpu.sampler.negative import (
+    NegativeSampling,
+    make_edge_key_sorted,
+)
+
+
+def test_triplet_reject_true_edges_tests_actual_pairs():
+    """Triplet negatives must be rejected against the ACTUAL (positive
+    source, corrupted dst) pairs — not an unrelated random source."""
+    from cugraph_gnn_tpu.loader.link_loader import draw_negatives
+    n_src, n_dst = 16, 20
+    # dense true-edge set: every src connects to dst < 15 (75% of the
+    # dst space) -> without rejection most corruptions are true edges
+    src = np.repeat(np.arange(n_src), 15)
+    dst = np.tile(np.arange(15), n_src)
+    eks = make_edge_key_sorted(src, dst, n_dst)
+    neg = NegativeSampling(mode="triplet", amount=4)
+    ps = jnp.arange(8, dtype=jnp.int32)
+    true = set(zip(src.tolist(), dst.tolist()))
+    for trial in range(5):
+        ns, nd = draw_negatives(jax.random.PRNGKey(trial), ps, 32,
+                                n_src, n_dst, neg, eks)
+        ns, nd = np.asarray(ns), np.asarray(nd)
+        np.testing.assert_array_equal(ns, np.repeat(np.arange(8), 4))
+        for s, d in zip(ns, nd):
+            if d >= 0:
+                assert (int(s), int(d)) not in true, (s, d)
+
+
+def test_temporal_link_loader_respects_edge_label_time(rng):
+    n, e = 40, 500
+    src = rng.integers(0, n, e).astype(np.int64)
+    dst = rng.integers(0, n, e).astype(np.int64)
+    etime = rng.integers(0, 100, e).astype(np.int32)
+    gs = GraphStore()
+    gs.put_edge_index((src, dst), ("N", "e", "N"), num_nodes=(n, n))
+    fs = FeatureStore()
+    fs[("", "x")] = rng.standard_normal((n, 4)).astype(np.float32)
+    fs[("", "t")] = etime
+
+    eli = np.stack([src[:64], dst[:64]])
+    elt = etime[:64]
+    loader = LinkNeighborLoader(
+        (fs, gs), num_neighbors=[4], edge_label_index=eli,
+        neg_sampling="binary", batch_size=16, time_attr="t",
+        edge_label_time=elt)
+    g = gs.finalize()
+    et = g.etypes[0]
+    etime_csr = np.asarray(g.edge_attr_to_csr_order(et, etime))
+
+    b = 16
+    saw = False
+    for i, batch in enumerate(loader):
+        eids = np.asarray(batch.sample.hops[0].edge_ids)
+        seeds = np.asarray(batch.seeds)
+        # seed slot j's time: positives [t|t], negatives cycle t
+        t = elt[i * b:(i + 1) * b]
+        t = np.pad(t, (0, b - len(t)))
+        times = np.concatenate([t, t, t, t])
+        ok = eids >= 0
+        saw |= bool(ok.any())
+        for j in range(eids.shape[0]):
+            sel = eids[j][eids[j] >= 0]
+            if seeds[j] >= 0 and len(sel):
+                assert (etime_csr[sel] <= times[j]).all(), j
+        if i >= 1:
+            break
+    assert saw
+
+
+def test_temporal_link_loader_requires_edge_label_time(rng):
+    n = 20
+    gs = GraphStore()
+    gs.put_edge_index((np.arange(n - 1), np.arange(1, n)),
+                      ("N", "e", "N"), num_nodes=(n, n))
+    fs = FeatureStore()
+    fs[("", "x")] = np.zeros((n, 4), np.float32)
+    fs[("", "t")] = np.zeros(n - 1, np.int32)
+    with pytest.raises(ValueError, match="edge_label_time"):
+        LinkNeighborLoader((fs, gs), num_neighbors=[2],
+                           edge_label_index=np.zeros((2, 4), np.int64),
+                           time_attr="t")
+
+
+def test_max_unique_per_hop_below_level_size_raises(rng):
+    n = 64
+    src = rng.integers(0, n, 400).astype(np.int64)
+    dst = rng.integers(0, n, 400).astype(np.int64)
+    from cugraph_gnn_tpu.ops import coo_to_csr_np
+    (indptr, indices), _ = coo_to_csr_np(dst, src, n, sort_by="src")
+    sampler = NeighborSampler(jnp.asarray(indptr), jnp.asarray(indices),
+                              [4, 4], dedup=True,
+                              max_unique_per_hop=[8, 100])
+    # batch 32 > cap 8 at level 1: must fail loudly, not corrupt indices
+    with pytest.raises(ValueError, match="smaller than level"):
+        sampler.sample(jax.random.PRNGKey(0),
+                       jnp.arange(32, dtype=jnp.int32))
+
+
+def test_hetero_max_unique_per_hop_rejected(rng):
+    gs = GraphStore()
+    gs.put_edge_index((np.arange(9), np.arange(1, 10)),
+                      ("a", "r1", "b"), num_nodes=(10, 10))
+    gs.put_edge_index((np.arange(9), np.arange(1, 10)),
+                      ("b", "r2", "a"), num_nodes=(10, 10))
+    fs = FeatureStore()
+    from cugraph_gnn_tpu.loader.node_loader import build_neighbor_sampler
+    with pytest.raises(NotImplementedError, match="max_unique_per_hop"):
+        build_neighbor_sampler(fs, gs, [2, 2], max_unique_per_hop=[8, 8])
