@@ -315,9 +315,12 @@ class DistFullBatchGraph:
         if self._attn is None:
             from cugraph_gnn_tpu.ops.pallas.slab_attn_grad import (
                 build_attention_slab_pair)
+            # to_device=False: this may run lazily inside a user's jit
+            # trace, where jnp arrays would be tracers — keep the build
+            # pure-host and place shards explicitly below
             pair = build_attention_slab_pair(
                 self._indptr_g, self._indices_g, block_rows=self._r_blk,
-                max_k=self._max_k)
+                max_k=self._max_k, to_device=False)
             sh = self._sharding
 
             def padded(e):

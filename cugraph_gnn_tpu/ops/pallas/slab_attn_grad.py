@@ -64,10 +64,16 @@ class AttnSlabPair(NamedTuple):
 
 
 def build_attention_slab_pair(indptr, indices, *, block_rows: int = 256,
-                              max_k: int = 64) -> AttnSlabPair:
+                              max_k: int = 64,
+                              to_device: bool = True) -> AttnSlabPair:
     """Split a CSR into a banded ELL that is valid in BOTH orientations
     (|col-row| <= block_rows, per-row cap max_k forward AND backward)
-    plus a fallback COO.  One-time host preprocessing."""
+    plus a fallback COO.  One-time host preprocessing.
+
+    to_device=False keeps every array as host numpy (callers that place
+    the structures themselves — e.g. the sharded path — and callers
+    that may run inside a jit trace, where jnp.asarray would yield
+    tracers)."""
     indptr = np.asarray(indptr, np.int64)
     indices = np.asarray(indices, np.int32)
     n = len(indptr) - 1
@@ -120,13 +126,14 @@ def build_attention_slab_pair(indptr, indices, *, block_rows: int = 256,
                              np.full(pad, -1, np.int32)])
     fb_dst = np.concatenate([rows[fb].astype(np.int32),
                              np.full(pad, -1, np.int32)])
+    degrees = np.bincount(rows[valid], minlength=n).astype(np.int32)
+    conv = jnp.asarray if to_device else np.asarray
     fwd = SlabGraph(
-        ell=jnp.asarray(ell), ell_w=None,
-        fb_src=jnp.asarray(fb_src), fb_dst=jnp.asarray(fb_dst), fb_w=None,
-        degrees=jnp.asarray(np.bincount(rows[valid], minlength=n)
-                            .astype(np.int32)),
+        ell=conv(ell), ell_w=None,
+        fb_src=conv(fb_src), fb_dst=conv(fb_dst), fb_w=None,
+        degrees=conv(degrees),
         num_rows=n, block_rows=r_blk, n_blocks=n_blocks)
-    return AttnSlabPair(fwd=fwd, t_ell=jnp.asarray(t_ell))
+    return AttnSlabPair(fwd=fwd, t_ell=conv(t_ell))
 
 
 def _onehot_expzm(idx, z, m_row_or_col, negative_slope, k_width):
