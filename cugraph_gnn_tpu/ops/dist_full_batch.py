@@ -255,11 +255,34 @@ class DistFullBatchGraph:
 
     # -- aggregation -------------------------------------------------------
 
-    def _spmm_sharded(self, x, *, transpose: bool, compute_dtype):
+    def spmm_arrays(self, transpose: bool = False):
+        """(ell, fb_src, fb_dst) for :meth:`spmm_with_arrays` — pass
+        these as jit ARGUMENTS when driving the graph through a
+        dispatch tunnel, where closure-captured device arrays are
+        re-shipped per dispatch (PERF_NOTES 'tunnel closure constants');
+        on directly-attached TPU hosts the closure-based :meth:`spmm`
+        is equivalent."""
+        if transpose:
+            return self._ell_t, self._fb_src_t, self._fb_dst_t
+        return self._ell, self._fb_src, self._fb_dst
+
+    def spmm_with_arrays(self, x, ell, fb_s, fb_d, *,
+                         compute_dtype=jnp.float32):
+        """Forward-only sum aggregation with the structure arrays as
+        explicit operands (see :meth:`spmm_arrays`)."""
+        return self._spmm_sharded(x, transpose=False,
+                                  compute_dtype=compute_dtype,
+                                  arrays=(ell, fb_s, fb_d))
+
+    def _spmm_sharded(self, x, *, transpose: bool, compute_dtype,
+                      arrays=None):
         interpret = jax.default_backend() != "tpu"
-        ell = self._ell_t if transpose else self._ell
-        fb_s = self._fb_src_t if transpose else self._fb_src
-        fb_d = self._fb_dst_t if transpose else self._fb_dst
+        if arrays is not None:
+            ell, fb_s, fb_d = arrays
+        elif transpose:
+            ell, fb_s, fb_d = self._ell_t, self._fb_src_t, self._fb_dst_t
+        else:
+            ell, fb_s, fb_d = self._ell, self._fb_src, self._fb_dst
         body = functools.partial(
             _shard_spmm_body, r_blk=self._r_blk, k_width=ell.shape[1],
             world=self._world, axis=self.axis, book=self._book,
