@@ -193,9 +193,11 @@ class NeighborLoader(NodeLoader):
             )
             x_attr = kwargs.get("x_attr", "x")
             fd = None
-            if ("", x_attr) in feature_store:
-                size = feature_store.get_tensor_size("", x_attr)
-                fd = size[-1] if len(size) > 1 else 1
+            for grp in [""] + list(graph_store.node_types):
+                if (grp, x_attr) in feature_store:
+                    size = feature_store.get_tensor_size(grp, x_attr)
+                    fd = size[-1] if len(size) > 1 else 1
+                    break
             max_unique_per_hop = resolve_max_unique_per_hop(
                 "auto", batch_size, num_neighbors, fd)
             dedup = True  # caps require the dedup renumbering layout
@@ -220,13 +222,6 @@ def build_neighbor_sampler(feature_store, graph_store, num_neighbors,
     graph = graph_store.finalize()
     if disjoint and not graph.is_homogeneous:
         raise NotImplementedError("disjoint hetero sampling")
-    if max_unique_per_hop is not None and not graph.is_homogeneous:
-        # HeteroNeighborSampler has no level-capacity budget yet; an
-        # explicit error beats silently dropping the memory knob.
-        raise NotImplementedError(
-            "max_unique_per_hop is not supported for heterogeneous "
-            "stores (per-type level capacities are not implemented); "
-            "omit it or use the homogeneous path")
     if graph.is_homogeneous:
         indptr, indices = graph.homogeneous_csr()
         et = graph.etypes[0]
@@ -262,7 +257,8 @@ def build_neighbor_sampler(feature_store, graph_store, num_neighbors,
     return HeteroNeighborSampler(
         graph, num_neighbors,
         weights_by_etype=_collect(weight_attr),
-        times_by_etype=_collect(time_attr))
+        times_by_etype=_collect(time_attr),
+        max_unique_per_hop=max_unique_per_hop)
 
 
 def _edge_attr_to_csr_order(graph_store: GraphStore, graph, et, attr):

@@ -84,7 +84,8 @@ class HeteroNeighborSampler:
 
     def __init__(self, graph, fanouts: Union[Sequence[int], Dict],
                  weights_by_etype: Optional[Dict] = None,
-                 times_by_etype: Optional[Dict] = None):
+                 times_by_etype: Optional[Dict] = None,
+                 max_unique_per_hop: Optional[Sequence[int]] = None):
         from cugraph_gnn_tpu.ops.window_gather import pad_to_lines
         self.graph = graph
         self.etypes = list(graph.etypes)
@@ -108,15 +109,30 @@ class HeteroNeighborSampler:
             f = [int(x) for x in fanouts]
             self.fanouts = {_etype_str(et): f for et in self.etypes}
             self.num_hops = len(f)
+        self.max_unique_per_hop = max_unique_per_hop
         self._sample_jit = jax.jit(self._sample, static_argnames=("batch_size",))
 
     def _level_caps(self, batch_size: int) -> List[int]:
+        growth = [
+            1 + sum((self.fanouts[_etype_str(et)] or [0] * self.num_hops)[h]
+                    for et in self.etypes)
+            for h in range(self.num_hops)
+        ]
         caps = [batch_size]
         for h in range(self.num_hops):
-            per_target = 1 + sum(
-                (self.fanouts[_etype_str(et)] or [0] * self.num_hops)[h]
-                for et in self.etypes)
-            caps.append(caps[-1] * per_target)
+            caps.append(caps[-1] * growth[h])
+        if self.max_unique_per_hop is not None:
+            # memory budget (the reference's local_seeds_per_call analog
+            # applied to level capacities, like the homogeneous sampler)
+            for h, cap in enumerate(self.max_unique_per_hop):
+                caps[h + 1] = min(caps[h + 1], int(cap))
+            for h in range(self.num_hops):
+                caps[h + 1] = min(caps[h + 1], caps[h] * growth[h])
+                if caps[h + 1] < caps[h]:
+                    raise ValueError(
+                        f"max_unique_per_hop[{h}]={caps[h + 1]} is "
+                        f"smaller than level {h}'s capacity {caps[h]}; "
+                        "targets are a prefix of the next level")
         return caps
 
     def _sample(self, key, seeds, node_times=None, *, batch_size: int):

@@ -109,13 +109,37 @@ def test_max_unique_per_hop_below_level_size_raises(rng):
                        jnp.arange(32, dtype=jnp.int32))
 
 
-def test_hetero_max_unique_per_hop_rejected(rng):
+def test_hetero_max_unique_per_hop_caps_levels(rng):
+    """Hetero level-capacity budget: levels are bounded by the caps,
+    sampling stays correct, and too-small caps raise."""
+    n_a = n_b = 40
+    e = 400
     gs = GraphStore()
-    gs.put_edge_index((np.arange(9), np.arange(1, 10)),
-                      ("a", "r1", "b"), num_nodes=(10, 10))
-    gs.put_edge_index((np.arange(9), np.arange(1, 10)),
-                      ("b", "r2", "a"), num_nodes=(10, 10))
+    gs.put_edge_index((rng.integers(0, n_a, e), rng.integers(0, n_b, e)),
+                      ("a", "r1", "b"), num_nodes=(n_a, n_b))
+    gs.put_edge_index((rng.integers(0, n_b, e), rng.integers(0, n_a, e)),
+                      ("b", "r2", "a"), num_nodes=(n_b, n_a))
     fs = FeatureStore()
     from cugraph_gnn_tpu.loader.node_loader import build_neighbor_sampler
-    with pytest.raises(NotImplementedError, match="max_unique_per_hop"):
-        build_neighbor_sampler(fs, gs, [2, 2], max_unique_per_hop=[8, 8])
+    batch = 16
+    caps = [48, 64]
+    sampler = build_neighbor_sampler(fs, gs, [3, 3],
+                                     max_unique_per_hop=caps)
+    seeds = jnp.arange(batch, dtype=jnp.int32)  # global ids (type 'a')
+    out = sampler.sample(jax.random.PRNGKey(0), seeds)
+    assert out.levels[1].shape[0] == caps[0]
+    assert out.levels[2].shape[0] == caps[1]
+    # level uniqueness (the dedup layout) holds under the caps
+    for lvl in out.levels[1:]:
+        v = np.asarray(lvl)
+        v = v[v >= 0]
+        assert len(np.unique(v)) == len(v)
+    # every hop-0 neighbor_local points into level 1
+    for blk in out.hops[0].values():
+        nl = np.asarray(blk.neigh_local)
+        assert nl.max() < caps[0]
+    # cap below the seed count is rejected loudly
+    tight = build_neighbor_sampler(fs, gs, [3, 3],
+                                   max_unique_per_hop=[8, 64])
+    with pytest.raises(ValueError, match="smaller than level"):
+        tight.sample(jax.random.PRNGKey(0), seeds)
