@@ -54,6 +54,13 @@ def test_dist_full_batch_example():
                  "--band", "100"], timeout=400)
 
 
+def test_movielens_example():
+    run_example("movielens_rec.py",
+                ["--epochs", "1", "--batch-size", "64",
+                 "--neighbors", "3,3", "--num-users", "150",
+                 "--num-movies", "200", "--num-ratings", "1500"])
+
+
 def test_kg_link_class_example():
     run_example("kg_link_class.py",
                 ["--epochs", "1", "--batch-size", "64",
