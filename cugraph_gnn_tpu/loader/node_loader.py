@@ -221,7 +221,10 @@ def build_neighbor_sampler(feature_store, graph_store, num_neighbors,
     per-edge-type sampler (ref neighbor_loader.py:162-201)."""
     graph = graph_store.finalize()
     if disjoint and not graph.is_homogeneous:
-        raise NotImplementedError("disjoint hetero sampling")
+        raise NotImplementedError(
+            "disjoint hetero sampling is not wired through the loader; "
+            "wrap HeteroNeighborSampler in DisjointNeighborSampler "
+            "directly (sampler-level support exists)")
     if graph.is_homogeneous:
         indptr, indices = graph.homogeneous_csr()
         et = graph.etypes[0]

@@ -81,13 +81,16 @@ jax.tree_util.register_pytree_node(
 
 
 class DisjointNeighborSampler:
-    """Disjoint-mode wrapper: vmaps a dedup'd NeighborSampler over the
-    seed axis.  Supports every variant the base sampler does (uniform /
-    weighted / temporal — weights and edge_times carry over)."""
+    """Disjoint-mode wrapper: vmaps a dedup'd sampler over the seed
+    axis.  Supports every variant the base sampler does (uniform /
+    weighted / temporal — weights and edge_times carry over), and the
+    heterogeneous per-edge-type sampler (whose ``_sample`` shares the
+    functional signature): hops are then per-etype dicts of (B, S, k)
+    blocks and ``levels`` per-seed typed-global id lists."""
 
-    def __init__(self, base: NeighborSampler,
+    def __init__(self, base,
                  max_unique_per_hop: Optional[Sequence[int]] = None):
-        if not base.dedup:
+        if isinstance(base, NeighborSampler) and not base.dedup:
             raise ValueError("disjoint mode requires a dedup=True sampler "
                              "(per-seed namespaces are dedup'd node lists)")
         self.base = base

@@ -174,3 +174,46 @@ def test_disjoint_via_neighbor_loader(graph):
     assert batch.x.ndim == 3                          # (B, cap, F)
     bvec = np.asarray(batch.sample.batch)
     assert (bvec[bvec >= 0] < 16).all()
+
+
+def test_disjoint_hetero_per_seed_subgraphs():
+    """Hetero disjoint: the vmapped per-edge-type sampler yields
+    per-seed typed blocks whose local indices stay inside each seed's
+    own level namespace."""
+    from cugraph_gnn_tpu.data import GraphStore
+    from cugraph_gnn_tpu.sampler.hetero import HeteroNeighborSampler
+
+    rng = np.random.default_rng(9)
+    n_a = n_b = 30
+    gs = GraphStore()
+    gs.put_edge_index((rng.integers(0, n_a, 300), rng.integers(0, n_b, 300)),
+                      ("a", "r1", "b"), num_nodes=(n_a, n_b))
+    gs.put_edge_index((rng.integers(0, n_b, 300), rng.integers(0, n_a, 300)),
+                      ("b", "r2", "a"), num_nodes=(n_b, n_a))
+    g = gs.finalize()
+    base = HeteroNeighborSampler(g, [2, 2])
+    s = DisjointNeighborSampler(base)
+    seeds = jnp.asarray(np.arange(8), jnp.int32)  # global ids (type 'a')
+    batch = s.sample(jax.random.PRNGKey(0), seeds)
+    assert batch.levels[0].shape == (8, 1)
+    # per-seed levels are deduped within each seed's namespace
+    for lvl_i in range(1, 3):
+        lvl = np.asarray(batch.levels[lvl_i])
+        assert lvl.shape[0] == 8
+        for srow in lvl:
+            v = srow[srow >= 0]
+            assert len(np.unique(v)) == len(v)
+    # typed hop blocks: (B, S, k) with local indices inside the next
+    # level's capacity, resolving to the reported global neighbor
+    for hop_i, blocks in enumerate(batch.hops):
+        nxt = np.asarray(batch.levels[hop_i + 1])
+        for blk in blocks.values():
+            nl = np.asarray(blk.neigh_local)
+            ng = np.asarray(blk.neigh_global)
+            assert nl.shape[0] == 8
+            ok = nl >= 0
+            assert nl[ok].max(initial=0) < nxt.shape[1]
+            for si in range(8):
+                m = ok[si]
+                np.testing.assert_array_equal(
+                    nxt[si][nl[si][m]], ng[si][m])
