@@ -72,8 +72,14 @@ def main():
         DEG_CAP).astype(np.int64)
     max_degree = int(deg.max())
     indptr_np = np.concatenate([[0], np.cumsum(deg)]).astype(np.int32)
-    from cugraph_gnn_tpu.ops.window_gather import hub_fraction
-    hub_frac = hub_fraction(indptr_np)   # static stat -> hub buffer size
+    from cugraph_gnn_tpu.ops.window_gather import (
+        hub_fraction,
+        hub_fraction_edgewise,
+    )
+    # static stats -> hub buffer sizes: hop-0 seeds are uniform
+    # (row-wise fraction), deeper frontiers are degree-biased
+    # (edge-wise fraction)
+    hub_frac = (hub_fraction(indptr_np), hub_fraction_edgewise(indptr_np))
     num_edges = int(indptr_np[-1])
     # pad the edge array to a 512B-line multiple for the window gather
     num_edges_pad = -(-num_edges // 128) * 128
@@ -81,9 +87,16 @@ def main():
 
     @jax.jit
     def make_data():
-        indices = jax.random.randint(
-            jax.random.PRNGKey(0), (num_edges_pad,), 0, NUM_NODES,
+        # neighbor ids drawn PROPORTIONAL TO DEGREE (pick a random edge
+        # slot, take its owning row): a symmetrized power-law graph has
+        # matching in-degree skew, so sampled frontiers concentrate on
+        # hubs — the realistic access pattern (uniform targets would
+        # flatter nothing but hide hub-induced duplication).
+        slot = jax.random.randint(
+            jax.random.PRNGKey(0), (num_edges_pad,), 0, num_edges,
             jnp.int32)
+        indices = (jnp.searchsorted(indptr_j, slot, side="right") - 1
+                   ).astype(jnp.int32)
         feats = jax.random.normal(
             jax.random.PRNGKey(1), (NUM_NODES, FEAT_DIM), jnp.bfloat16)
         labels = jax.random.randint(

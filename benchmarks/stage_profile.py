@@ -47,16 +47,23 @@ def main():
         DEG_CAP).astype(np.int64)
     max_degree = int(deg.max())
     indptr_np = np.concatenate([[0], np.cumsum(deg)]).astype(np.int32)
-    from cugraph_gnn_tpu.ops.window_gather import hub_fraction
-    hub_frac = hub_fraction(indptr_np)
+    from cugraph_gnn_tpu.ops.window_gather import (
+        hub_fraction,
+        hub_fraction_edgewise,
+    )
+    hub_frac = (hub_fraction(indptr_np), hub_fraction_edgewise(indptr_np))
     num_edges = int(indptr_np[-1])
     num_edges_pad = -(-num_edges // 128) * 128
     indptr_j = jnp.asarray(indptr_np)
 
     @jax.jit
     def make_data():
-        indices = jax.random.randint(
-            jax.random.PRNGKey(0), (num_edges_pad,), 0, NUM_NODES, jnp.int32)
+        # degree-proportional neighbor ids, matching bench.py
+        slot = jax.random.randint(
+            jax.random.PRNGKey(0), (num_edges_pad,), 0, num_edges,
+            jnp.int32)
+        indices = (jnp.searchsorted(indptr_j, slot, side="right") - 1
+                   ).astype(jnp.int32)
         feats = jax.random.normal(
             jax.random.PRNGKey(1), (NUM_NODES, FEAT_DIM), jnp.bfloat16)
         labels = jax.random.randint(

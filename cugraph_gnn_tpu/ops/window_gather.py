@@ -171,10 +171,25 @@ def hybrid_degree_cap(hybrid_window_lines: int = 2) -> int:
 
 def hub_fraction(indptr, hybrid_window_lines: int = 2) -> float:
     """Host-side fraction of rows whose degree exceeds the hybrid window
-    tier — feeds ``hub_frac`` below for right-sized hub capacities."""
+    tier — feeds ``hub_frac`` below for right-sized hub capacities.
+    Right for UNIFORMLY drawn target rows (hop-0 seeds)."""
     indptr = np.asarray(indptr)
     deg = indptr[1:] - indptr[:-1]
     return float((deg > hybrid_degree_cap(hybrid_window_lines)).mean())
+
+
+def hub_fraction_edgewise(indptr, hybrid_window_lines: int = 2) -> float:
+    """Fraction of EDGES owned by hub rows: the hub probability of a
+    target drawn proportional to degree — which is what deeper-hop
+    frontiers are on any graph whose in-degrees correlate with
+    out-degrees (symmetrized power-law graphs: most edges point AT
+    hubs).  Sizing deep-hop hub capacities with the row-wise fraction
+    overflows every batch there and falls back to the slow exact path."""
+    indptr = np.asarray(indptr)
+    deg = indptr[1:] - indptr[:-1]
+    tot = max(int(deg.sum()), 1)
+    return float(deg[deg > hybrid_degree_cap(hybrid_window_lines)].sum()
+                 / tot)
 
 
 def _auto_hub_capacity(s: int, hub_frac) -> int:

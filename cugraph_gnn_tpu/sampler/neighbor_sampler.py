@@ -40,7 +40,7 @@ def level_capacities(batch_size: int, fanouts: Sequence[int]) -> List[int]:
 def multihop_uniform(key, indptr, indices, seeds, fanouts,
                      dedup: bool = True, indices2d=None,
                      max_degree: int = None,
-                     hub_frac: float = None) -> MultihopBatch:
+                     hub_frac=None) -> MultihopBatch:
     """Pure-functional uniform multi-hop sampling with *explicit* graph
     arguments.  Use this form inside larger jitted steps: closing over
     big device arrays embeds them as XLA constants (catastrophic compile
@@ -52,8 +52,15 @@ def multihop_uniform(key, indptr, indices, seeds, fanouts,
     renumbering is position arithmetic — zero sorts.  On large graphs
     collisions are rare and dedup saves little compute while its sorts
     dominate the sampling step.
+
+    hub_frac: float (all hops) or a per-hop tuple — hop 0's targets are
+    the user's seeds (row-wise hub fraction), deeper hops' targets are
+    degree-biased (edge-wise fraction; see
+    window_gather.hub_fraction_edgewise).
     """
     fanouts = tuple(int(f) for f in fanouts)
+    if hub_frac is None or isinstance(hub_frac, float):
+        hub_frac = (hub_frac,) * len(fanouts)
     caps = level_capacities(int(seeds.shape[0]), fanouts)
     levels = [seeds.astype(jnp.int32)]
     level_counts = [jnp.sum(seeds >= 0).astype(jnp.int32)]
@@ -66,7 +73,7 @@ def multihop_uniform(key, indptr, indices, seeds, fanouts,
         out = sample_ops.uniform_sample(hkey, indptr, indices, safe, fanout,
                                         indices2d=indices2d,
                                         max_degree=max_degree,
-                                        hub_frac=hub_frac)
+                                        hub_frac=hub_frac[h])
         vm = valid_seed[:, None]
         out = sample_ops.SampleOutput(
             jnp.where(vm, out.neighbors, -1),
@@ -125,14 +132,22 @@ class NeighborSampler:
         become -1 padding)."""
         from cugraph_gnn_tpu.ops.window_gather import (
             hub_fraction,
+            hub_fraction_edgewise,
             pad_to_lines,
         )
-        # Static hub fraction (host stat, free when indptr is host data)
-        # right-sizes the hybrid gather's hub buffer — the per-entry
-        # gather cost scales with the static capacity, not the actual
-        # hub count, so the S//8 default wastes ~3x at power-law shapes.
-        self.hub_frac = (hub_fraction(indptr)
-                         if isinstance(indptr, np.ndarray) else None)
+        # Static hub fractions (host stats, free when indptr is host
+        # data) right-size the hybrid gather's hub buffer — the
+        # per-entry gather cost scales with the static capacity, not
+        # the actual hub count.  Two regimes: hop-0 targets are the
+        # user's seeds (row-wise fraction), deeper hops' targets are
+        # drawn proportional to degree (edge-wise fraction — on
+        # power-law graphs most edges point AT hubs, so the row-wise
+        # estimate overflows every deep-hop batch into the slow exact
+        # fallback).
+        host_ip = isinstance(indptr, np.ndarray)
+        self.hub_frac = hub_fraction(indptr) if host_ip else None
+        self.hub_frac_deep = (hub_fraction_edgewise(indptr)
+                              if host_ip else None)
         self.indptr = jnp.asarray(indptr)
         # Edge-value arrays are padded to a 512B-line multiple once at
         # construction so every per-edge read in the hot path can ride
@@ -156,7 +171,8 @@ class NeighborSampler:
 
     # -- one hop ------------------------------------------------------------
 
-    def _one_hop(self, key, seeds, fanout, seed_time=None):
+    def _one_hop(self, key, seeds, fanout, seed_time=None, *,
+                 hub_frac=None):
         valid_seed = seeds >= 0
         safe = jnp.where(valid_seed, seeds, 0)
         # Line views are free reshapes inside the trace (arrays are
@@ -184,7 +200,7 @@ class NeighborSampler:
             out = sample_ops.uniform_sample(
                 key, self.indptr, self.indices, safe, fanout,
                 indices2d=ind2d, max_degree=self.max_degree,
-                hub_frac=self.hub_frac)
+                hub_frac=self.hub_frac if hub_frac is None else hub_frac)
         # Mask out padded seeds entirely.
         vm = valid_seed[:, None]
         return sample_ops.SampleOutput(
@@ -222,7 +238,9 @@ class NeighborSampler:
         for h, fanout in enumerate(self.fanouts):
             hkey = jax.random.fold_in(key, h)
             targets = levels[-1]
-            out = self._one_hop(hkey, targets, fanout, seed_time)
+            out = self._one_hop(
+                hkey, targets, fanout, seed_time,
+                hub_frac=self.hub_frac if h == 0 else self.hub_frac_deep)
             t = targets.shape[0]
             if self.dedup:
                 uniq = append_unique(
