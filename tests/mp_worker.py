@@ -102,6 +102,60 @@ def main():
                 assert indptr[s] <= e_ < indptr[s + 1]
                 assert indices[e_] == nb
 
+    # 4) distributed full-batch slab SpMM + fused attention across the
+    #    process boundary (halo ppermute crosses processes; fallback
+    #    edges ride the a2a gather), vs host segment references
+    from cugraph_gnn_tpu.ops.dist_full_batch import DistFullBatchGraph
+
+    nb_nodes = 256
+    band = 20
+    deg = 4
+    fsrc = np.clip(np.repeat(np.arange(nb_nodes), deg)
+                   + rng.integers(-band, band + 1, nb_nodes * deg),
+                   0, nb_nodes - 1)
+    # a few far edges exercise the fallback exchange
+    fsrc[::37] = rng.integers(0, nb_nodes, len(fsrc[::37]))
+    fdst = np.repeat(np.arange(nb_nodes), deg)
+    fb = DistFullBatchGraph.from_coo(fsrc, fdst, nb_nodes, mesh,
+                                     reorder="none", block_rows=32)
+    x = rng.standard_normal((nb_nodes, f)).astype(np.float32)
+    out = fb.spmm(fb.shard(x), reduce="sum")
+
+    want = np.zeros((nb_nodes, f), np.float32)
+    np.add.at(want, fdst, x[fsrc])
+    for shard in out.addressable_shards:
+        lo = shard.index[0].start or 0
+        got = np.asarray(shard.data)
+        ref = np.zeros_like(got)
+        n_rows = max(0, min(got.shape[0], nb_nodes - lo))
+        if n_rows > 0:
+            ref[:n_rows] = want[lo:lo + n_rows]
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    a_d = rng.standard_normal(nb_nodes).astype(np.float32)
+    a_s = rng.standard_normal(nb_nodes).astype(np.float32)
+    att = fb.attention_spmm(fb.shard(x), fb.shard(a_d), fb.shard(a_s))
+    z = a_d[fdst] + a_s[fsrc]
+    e_ref = np.where(z >= 0, z, 0.2 * z)
+    m_ref = np.full(nb_nodes, -np.inf)
+    np.maximum.at(m_ref, fdst, e_ref)
+    m_ref = np.where(np.isfinite(m_ref), m_ref, 0.0)
+    p_ref = np.exp(e_ref - m_ref[fdst])
+    s_ref = np.zeros(nb_nodes)
+    np.add.at(s_ref, fdst, p_ref)
+    u_ref = np.zeros((nb_nodes, f))
+    np.add.at(u_ref, fdst, p_ref[:, None] * x[fsrc])
+    want_att = (u_ref / np.maximum(s_ref, 1e-16)[:, None]).astype(
+        np.float32)
+    for shard in att.addressable_shards:
+        lo = shard.index[0].start or 0
+        got = np.asarray(shard.data)
+        ref = np.zeros_like(got)
+        n_rows = max(0, min(got.shape[0], nb_nodes - lo))
+        if n_rows > 0:
+            ref[:n_rows] = want_att[lo:lo + n_rows]
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
     print("MP_OK", flush=True)
 
 
