@@ -38,8 +38,6 @@ def main():
 
     # banded synthetic graph at products scale, fully in-band
     host = np.random.default_rng(0)
-    g = DistFullBatchGraph.__new__(DistFullBatchGraph)
-    # build via the real constructor on a banded COO (cheap: deg=12)
     src = np.clip(
         np.repeat(np.arange(N, dtype=np.int64), DEG)
         + host.integers(-R, R + 1, N * DEG), 0, N - 1).astype(np.int32)

@@ -246,12 +246,15 @@ class DistNeighborLoader:
             num_shards=self.mesh.shape[axis])
         x_specs = (P() if feats is None
                    else {nt: P(axis) for nt in feats})
+        # node_times spec is UNCONDITIONALLY sharded: the link loader
+        # passes per-seed times without input_time (a None argument has
+        # no leaves, so the spec is inert then)
         shard = jax.shard_map(
             body, mesh=self.mesh,
             in_specs=(data_specs,
                       P() if feats is None
                       else {nt: P(axis) for nt in feats},
-                      opt(labels), P(), P(axis), opt(self.input_time)),
+                      opt(labels), P(), P(axis), P(axis)),
             out_specs=(batch_specs, x_specs,
                        P() if labels is None else P(axis)))
         return jax.jit(shard)
@@ -289,11 +292,11 @@ class DistNeighborLoader:
             seed_count=P(),
             static_layout=not self.sampler.dedup,
             num_shards=self.mesh.shape[axis])
+        # node_times spec unconditionally sharded (see hetero builder)
         shard = jax.shard_map(
             body, mesh=self.mesh,
             in_specs=(P(axis), P(axis), P(), opt(g.weights), opt(g.times),
-                      opt(feat), opt(labels), P(), P(axis),
-                      opt(self.input_time)),
+                      opt(feat), opt(labels), P(), P(axis), P(axis)),
             out_specs=(batch_specs,
                        P() if feat is None else P(axis),
                        P() if labels is None else P(axis)))
@@ -391,6 +394,11 @@ class DistLinkNeighborLoader:
                 "time_attr requires edge_label_time (per-seed-edge "
                 "times); without it temporal sampling has no seed "
                 "times and would silently run uniform")
+        if time_attr is None and edge_label_time is not None:
+            raise ValueError(
+                "edge_label_time requires time_attr (per-edge graph "
+                "times); without it the seed times are ignored and "
+                "sampling would silently run uniform")
         self.edge_label_time = (None if edge_label_time is None
                                 else np.asarray(edge_label_time))
         _, graph_store = data
@@ -491,9 +499,12 @@ class DistLinkNeighborLoader:
             node_times = None
             if self.edge_label_time is not None:
                 # every seed slot inherits its edge's time (negatives
-                # cycle the positives' times — see link_loader.py)
-                t = np.zeros((b,), self.edge_label_time.dtype)
-                t[: len(sel)] = self.edge_label_time[sel]
+                # cycle the positives' times — see link_loader.py);
+                # padding slots take the batch max time
+                bt = self.edge_label_time[sel]
+                fillt = bt.max() if len(bt) else 0
+                t = np.full((b,), fillt, self.edge_label_time.dtype)
+                t[: len(sel)] = bt
                 if not n_neg:
                     neg_t = np.zeros((0,), t.dtype)
                 elif self.neg is not None and self.neg.mode == "triplet":

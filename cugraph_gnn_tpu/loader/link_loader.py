@@ -171,9 +171,13 @@ class LinkLoader:
                 _off(ns, self.src_offset), _off(nd, self.dst_offset)])
             if self.edge_label_time is not None:
                 # each seed slot inherits its edge's time; negatives
-                # cycle the batch's positive times (PyG semantics)
-                t = np.zeros((b,), self.edge_label_time.dtype)
-                t[: len(sel)] = self.edge_label_time[sel]
+                # cycle the batch's positive times (PyG semantics).
+                # Padding slots take the batch MAX time (zero would give
+                # negatives cycled onto them empty neighborhoods).
+                bt = self.edge_label_time[sel]
+                fillt = bt.max() if len(bt) else 0
+                t = np.full((b,), fillt, self.edge_label_time.dtype)
+                t[: len(sel)] = bt
                 t = jnp.asarray(t)
                 if not n_neg:
                     neg_t = jnp.zeros((0,), t.dtype)
@@ -226,6 +230,11 @@ class LinkNeighborLoader(LinkLoader):
                 "time_attr requires edge_label_time (per-seed-edge "
                 "times); without it temporal sampling has no seed "
                 "times and would silently run uniform")
+        if time_attr is None and kwargs.get("edge_label_time") is not None:
+            raise ValueError(
+                "edge_label_time requires time_attr (per-edge graph "
+                "times); without it the seed times are ignored and "
+                "sampling would silently run uniform")
         sampler = build_neighbor_sampler(
             feature_store, graph_store, num_neighbors,
             weight_attr=weight_attr, time_attr=time_attr)

@@ -41,9 +41,17 @@ def _load() -> Optional[ctypes.CDLL]:
             try:
                 subprocess.run(["make", "-C", _CPP_DIR], check=True,
                                capture_output=True)
-            except Exception:
+            except Exception as exc:
                 if not os.path.exists(_LIB_PATH):
                     raise
+                # a prebuilt .so exists: keep running (no-toolchain
+                # deployments), but tell developers the rebuild failed
+                # so a stale library is not mistaken for current code
+                import warnings
+                warnings.warn(
+                    f"native rebuild failed ({exc!r}); loading the "
+                    f"existing {_LIB_PATH} — it may be STALE relative "
+                    "to the C++ sources", RuntimeWarning)
             lib = ctypes.CDLL(_LIB_PATH)
             lib.build_csr_i32.argtypes = [
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),

@@ -228,16 +228,9 @@ class DistNeighborSampler:
     def _caps(self, local_batch: int) -> List[int]:
         caps = level_capacities(local_batch, self.fanouts)
         if self.max_unique_per_hop is not None:
-            for h, cap in enumerate(self.max_unique_per_hop):
-                caps[h + 1] = min(caps[h + 1], int(cap))
-            for h in range(len(self.fanouts)):
-                caps[h + 1] = min(caps[h + 1],
-                                  caps[h] * (self.fanouts[h] + 1))
-                if caps[h + 1] < caps[h]:
-                    raise ValueError(
-                        f"max_unique_per_hop[{h}]={caps[h + 1]} is "
-                        f"smaller than level {h}'s capacity {caps[h]}; "
-                        "targets are a prefix of the next level")
+            from cugraph_gnn_tpu.sampler.heuristics import clamp_level_caps
+            clamp_level_caps(caps, [f + 1 for f in self.fanouts],
+                             self.max_unique_per_hop)
         return caps
 
     def sample_shard_fn(self, local_batch: int):

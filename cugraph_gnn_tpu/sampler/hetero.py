@@ -124,15 +124,8 @@ class HeteroNeighborSampler:
         if self.max_unique_per_hop is not None:
             # memory budget (the reference's local_seeds_per_call analog
             # applied to level capacities, like the homogeneous sampler)
-            for h, cap in enumerate(self.max_unique_per_hop):
-                caps[h + 1] = min(caps[h + 1], int(cap))
-            for h in range(self.num_hops):
-                caps[h + 1] = min(caps[h + 1], caps[h] * growth[h])
-                if caps[h + 1] < caps[h]:
-                    raise ValueError(
-                        f"max_unique_per_hop[{h}]={caps[h + 1]} is "
-                        f"smaller than level {h}'s capacity {caps[h]}; "
-                        "targets are a prefix of the next level")
+            from cugraph_gnn_tpu.sampler.heuristics import clamp_level_caps
+            clamp_level_caps(caps, growth, self.max_unique_per_hop)
         return caps
 
     def _sample(self, key, seeds, node_times=None, *, batch_size: int):

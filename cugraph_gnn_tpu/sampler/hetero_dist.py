@@ -104,21 +104,17 @@ class HeteroDistNeighborSampler:
         self.max_unique_per_hop = max_unique_per_hop
 
     def _level_caps(self, local_batch: int) -> List[int]:
+        growth = [
+            1 + sum((self.fanouts[e] or [0] * self.num_hops)[h]
+                    for e in self.enames)
+            for h in range(self.num_hops)
+        ]
         caps = [local_batch]
-        for h in range(self.num_hops):
-            per_target = 1 + sum(
-                (self.fanouts[e] or [0] * self.num_hops)[h]
-                for e in self.enames)
-            caps.append(caps[-1] * per_target)
+        for g in growth:
+            caps.append(caps[-1] * g)
         if self.max_unique_per_hop is not None:
-            for h, cap in enumerate(self.max_unique_per_hop):
-                caps[h + 1] = min(caps[h + 1], int(cap))
-            for h in range(self.num_hops):
-                if caps[h + 1] < caps[h]:
-                    raise ValueError(
-                        f"max_unique_per_hop[{h}]={caps[h + 1]} is "
-                        f"smaller than level {h}'s capacity {caps[h]}; "
-                        "targets are a prefix of the next level")
+            from cugraph_gnn_tpu.sampler.heuristics import clamp_level_caps
+            clamp_level_caps(caps, growth, self.max_unique_per_hop)
         return caps
 
     def sample_shard_fn(self, local_batch: int):

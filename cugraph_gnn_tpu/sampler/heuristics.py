@@ -92,3 +92,25 @@ def resolve_max_unique_per_hop(max_unique_per_hop, batch_size, fanouts,
     return auto_max_unique_per_hop(
         batch_size, fanouts, feat_dim if feat_dim else 128,
         feat_bytes=feat_bytes)
+
+
+def clamp_level_caps(caps: List[int], growth: Sequence[int],
+                     max_unique_per_hop: Sequence[int]) -> List[int]:
+    """Apply per-hop unique-node caps to combinatorial level capacities
+    (in place) and enforce the prefix invariant shared by every sampler:
+    level l's targets are a PREFIX of level l+1, so each level must hold
+    at least the previous one — a smaller cap would truncate targets and
+    emit out-of-range neighbor indices.  ``growth[h]`` is the worst-case
+    expansion factor of hop h (fanout + 1, summed over edge types for
+    hetero samplers)."""
+    for h, cap in enumerate(max_unique_per_hop):
+        caps[h + 1] = min(caps[h + 1], int(cap))
+    for h in range(len(growth)):
+        caps[h + 1] = min(caps[h + 1], caps[h] * int(growth[h]))
+        if caps[h + 1] < caps[h]:
+            raise ValueError(
+                f"max_unique_per_hop[{h}]={caps[h + 1]} is smaller than "
+                f"level {h}'s capacity {caps[h]}; each level must hold "
+                "at least the previous level (targets are a prefix of "
+                "the next level)")
+    return caps

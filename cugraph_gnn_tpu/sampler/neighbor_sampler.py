@@ -215,22 +215,9 @@ class NeighborSampler:
         caps = level_capacities(batch_size, self.fanouts)
         if self.max_unique_per_hop is not None:
             assert self.dedup, "capacity budgets need dedup=True"
-            for h, cap in enumerate(self.max_unique_per_hop):
-                caps[h + 1] = min(caps[h + 1], cap)
-            # downstream capacities follow the trimmed level sizes
-            for h in range(len(self.fanouts)):
-                caps[h + 1] = min(caps[h + 1],
-                                  caps[h] * (self.fanouts[h] + 1))
-                if caps[h + 1] < caps[h]:
-                    # level h's targets are a PREFIX of level h+1;
-                    # a smaller cap would truncate targets and emit
-                    # neighbor_map indices past the level array
-                    raise ValueError(
-                        f"max_unique_per_hop[{h}]={caps[h + 1]} is "
-                        f"smaller than level {h}'s capacity {caps[h]}; "
-                        "each level must hold at least the previous "
-                        "level (targets are a prefix of the next "
-                        "level)")
+            from cugraph_gnn_tpu.sampler.heuristics import clamp_level_caps
+            clamp_level_caps(caps, [f + 1 for f in self.fanouts],
+                             self.max_unique_per_hop)
         levels = [seeds.astype(jnp.int32)]
         level_counts = [jnp.sum(seeds >= 0).astype(jnp.int32)]
         seed_time = node_times

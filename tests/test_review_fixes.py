@@ -143,3 +143,73 @@ def test_hetero_max_unique_per_hop_caps_levels(rng):
                                    max_unique_per_hop=[8, 64])
     with pytest.raises(ValueError, match="smaller than level"):
         tight.sample(jax.random.PRNGKey(0), seeds)
+
+
+def test_dist_temporal_link_loader_respects_times(rng):
+    """DistLinkNeighborLoader + time_attr + edge_label_time over the
+    8-device mesh: per-seed times must shard with the seeds (the
+    node_times in_spec was keyed to input_time and broke / silently
+    used shard 0's slice)."""
+    from jax.sharding import Mesh
+
+    from cugraph_gnn_tpu.loader import DistLinkNeighborLoader
+    from cugraph_gnn_tpu.parallel import STORE_AXIS
+
+    n, e = 48, 600
+    src = rng.integers(0, n, e).astype(np.int64)
+    dst = rng.integers(0, n, e).astype(np.int64)
+    etime = rng.integers(0, 100, e).astype(np.int32)
+    gs = GraphStore()
+    gs.put_edge_index((src, dst), ("N", "e", "N"), num_nodes=(n, n))
+    fs = FeatureStore()
+    fs[("", "x")] = rng.standard_normal((n, 4)).astype(np.float32)
+    fs[("", "t")] = etime
+
+    mesh = Mesh(np.array(jax.devices()[:8]), (STORE_AXIS,))
+    eli = np.stack([src[:64], dst[:64]])
+    elt = etime[:64]
+    loader = DistLinkNeighborLoader(
+        (fs, gs), [3], mesh=mesh, edge_label_index=eli,
+        neg_sampling="binary", batch_size=16, time_attr="t",
+        edge_label_time=elt)
+    g = gs.finalize()
+    etime_csr = np.asarray(
+        g.edge_attr_to_csr_order(("N", "e", "N"), etime))
+
+    b = 16
+    saw = False
+    for i, batch in enumerate(loader):
+        eids = np.asarray(batch.sample.hops[0].edge_ids)
+        seeds = np.asarray(batch.seeds)
+        bt = elt[i * b:(i + 1) * b]
+        t = np.full((b,), bt.max() if len(bt) else 0, elt.dtype)
+        t[: len(bt)] = bt
+        times = np.zeros(seeds.shape[0], elt.dtype)
+        n_neg = loader.num_neg
+        times[:b] = t
+        times[b:2 * b] = t
+        times[2 * b:2 * b + n_neg] = np.tile(t, -(-n_neg // b))[:n_neg]
+        times[2 * b + n_neg:2 * b + 2 * n_neg] = times[
+            2 * b:2 * b + n_neg]
+        ok = eids >= 0
+        saw |= bool(ok.any())
+        for j in range(eids.shape[0]):
+            sel = eids[j][eids[j] >= 0]
+            if seeds[j] >= 0 and len(sel) and j < 2 * b + 2 * n_neg:
+                assert (etime_csr[sel] <= times[j]).all(), j
+        if i >= 1:
+            break
+    assert saw
+
+
+def test_link_loader_rejects_orphan_edge_label_time(rng):
+    n = 20
+    gs = GraphStore()
+    gs.put_edge_index((np.arange(n - 1), np.arange(1, n)),
+                      ("N", "e", "N"), num_nodes=(n, n))
+    fs = FeatureStore()
+    fs[("", "x")] = np.zeros((n, 4), np.float32)
+    with pytest.raises(ValueError, match="requires time_attr"):
+        LinkNeighborLoader((fs, gs), num_neighbors=[2],
+                           edge_label_index=np.zeros((2, 4), np.int64),
+                           edge_label_time=np.zeros(4, np.int32))
