@@ -86,16 +86,17 @@ def main():
     indptr_j = jnp.asarray(indptr_np)
 
     @jax.jit
-    def make_data():
+    def make_data(indptr):
         # neighbor ids drawn PROPORTIONAL TO DEGREE (pick a random edge
         # slot, take its owning row): a symmetrized power-law graph has
         # matching in-degree skew, so sampled frontiers concentrate on
         # hubs — the realistic access pattern (uniform targets would
-        # flatter nothing but hide hub-induced duplication).
+        # flatter nothing but hide hub-induced duplication).  indptr is
+        # an ARGUMENT (a closure would embed it as an XLA constant).
         slot = jax.random.randint(
             jax.random.PRNGKey(0), (num_edges_pad,), 0, num_edges,
             jnp.int32)
-        indices = (jnp.searchsorted(indptr_j, slot, side="right") - 1
+        indices = (jnp.searchsorted(indptr, slot, side="right") - 1
                    ).astype(jnp.int32)
         feats = jax.random.normal(
             jax.random.PRNGKey(1), (NUM_NODES, FEAT_DIM), jnp.bfloat16)
@@ -103,7 +104,7 @@ def main():
             jax.random.PRNGKey(2), (NUM_NODES,), 0, CLASSES, jnp.int32)
         return indices, feats, labels
 
-    indices_j, feats, labels = jax.block_until_ready(make_data())
+    indices_j, feats, labels = jax.block_until_ready(make_data(indptr_j))
     log(f"device data ready in {time.perf_counter()-t:.1f}s "
         f"({num_edges} edges, mean deg {num_edges/NUM_NODES:.1f}, "
         f"max deg {max_degree})")

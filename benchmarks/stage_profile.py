@@ -57,12 +57,13 @@ def main():
     indptr_j = jnp.asarray(indptr_np)
 
     @jax.jit
-    def make_data():
-        # degree-proportional neighbor ids, matching bench.py
+    def make_data(indptr):
+        # degree-proportional neighbor ids, matching bench.py (indptr
+        # as an argument, not a closure constant)
         slot = jax.random.randint(
             jax.random.PRNGKey(0), (num_edges_pad,), 0, num_edges,
             jnp.int32)
-        indices = (jnp.searchsorted(indptr_j, slot, side="right") - 1
+        indices = (jnp.searchsorted(indptr, slot, side="right") - 1
                    ).astype(jnp.int32)
         feats = jax.random.normal(
             jax.random.PRNGKey(1), (NUM_NODES, FEAT_DIM), jnp.bfloat16)
@@ -70,7 +71,7 @@ def main():
             jax.random.PRNGKey(2), (NUM_NODES,), 0, CLASSES, jnp.int32)
         return indices, feats, labels
 
-    indices_j, feats, labels = jax.block_until_ready(make_data())
+    indices_j, feats, labels = jax.block_until_ready(make_data(indptr_j))
     log(f"data ready ({num_edges} edges)")
 
     model = GraphSAGE(hidden_features=HIDDEN, out_features=CLASSES,

@@ -81,15 +81,11 @@ class DistNeighborLoader:
         world = mesh.shape[axis]
         if max_unique_per_hop == "auto":
             from cugraph_gnn_tpu.sampler.heuristics import (
+                resolve_feature_dim,
                 resolve_max_unique_per_hop,
             )
             local_batch = -(-int(batch_size) // world)
-            fd = None
-            for grp in [""] + list(graph_store.node_types):
-                if (grp, x_attr) in feature_store:
-                    size = feature_store.get_tensor_size(grp, x_attr)
-                    fd = size[-1] if len(size) > 1 else 1
-                    break
+            fd = resolve_feature_dim(feature_store, graph_store, x_attr)
             max_unique_per_hop = resolve_max_unique_per_hop(
                 "auto", local_batch, num_neighbors, fd)
             dedup = True
@@ -185,6 +181,7 @@ class DistNeighborLoader:
                 self._label_offset = 0
         self.input_nodes = np.asarray(input_nodes).astype(np.int64)
         self.input_time = None if input_time is None else np.asarray(input_time)
+        self._temporal = time_attr is not None
         # fixed global batch, padded to a mesh-axis multiple
         self.batch_size = -(-int(batch_size) // world) * world
         self.local_batch = self.batch_size // world
@@ -333,6 +330,11 @@ class DistNeighborLoader:
         return -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[NodeBatch]:
+        if self._temporal and self.input_time is None:
+            raise ValueError(
+                "time_attr requires input_time (per-seed times); "
+                "without it temporal sampling has no seed times and "
+                "would silently run uniform")
         order = np.arange(len(self.input_nodes))
         if self.shuffle:
             rng = np.random.default_rng(self._epoch + 12345)
@@ -499,8 +501,7 @@ class DistLinkNeighborLoader:
             node_times = None
             if self.edge_label_time is not None:
                 # every seed slot inherits its edge's time (negatives
-                # cycle the positives' times — see link_loader.py);
-                # padding slots take the batch max time
+                # cycle the VALID positives' times — see link_loader.py)
                 bt = self.edge_label_time[sel]
                 fillt = bt.max() if len(bt) else 0
                 t = np.full((b,), fillt, self.edge_label_time.dtype)
@@ -510,8 +511,10 @@ class DistLinkNeighborLoader:
                 elif self.neg is not None and self.neg.mode == "triplet":
                     amount = max(int(self.neg.amount), 1)
                     neg_t = np.repeat(t, amount)[:n_neg]
+                elif len(bt):
+                    neg_t = np.resize(bt, n_neg)
                 else:
-                    neg_t = np.tile(t, -(-n_neg // b))[:n_neg]
+                    neg_t = np.zeros((n_neg,), t.dtype)
                 times = np.zeros((s_cnt,), t.dtype)
                 times[:b] = t
                 times[b:2 * b] = t

@@ -171,23 +171,25 @@ class LinkLoader:
                 _off(ns, self.src_offset), _off(nd, self.dst_offset)])
             if self.edge_label_time is not None:
                 # each seed slot inherits its edge's time; negatives
-                # cycle the batch's positive times (PyG semantics).
-                # Padding slots take the batch MAX time (zero would give
-                # negatives cycled onto them empty neighborhoods).
+                # cycle the batch's VALID positive times (PyG
+                # semantics — cycling the padded array would hand
+                # pad-slot negatives a fabricated time).
                 bt = self.edge_label_time[sel]
                 fillt = bt.max() if len(bt) else 0
                 t = np.full((b,), fillt, self.edge_label_time.dtype)
                 t[: len(sel)] = bt
-                t = jnp.asarray(t)
                 if not n_neg:
-                    neg_t = jnp.zeros((0,), t.dtype)
+                    neg_t = np.zeros((0,), t.dtype)
                 elif self.neg is not None and self.neg.mode == "triplet":
-                    # negatives repeat their positive's time
+                    # negatives repeat their positive's time (pad-slot
+                    # sources are -1 and masked anyway)
                     amount = max(int(self.neg.amount), 1)
-                    neg_t = jnp.repeat(t, amount)[:n_neg]
+                    neg_t = np.repeat(t, amount)[:n_neg]
+                elif len(bt):
+                    neg_t = np.resize(bt, n_neg)  # cycles valid times
                 else:
-                    neg_t = jnp.tile(t, -(-n_neg // b))[:n_neg]
-                times = jnp.concatenate([t, t, neg_t, neg_t])
+                    neg_t = np.zeros((n_neg,), t.dtype)
+                times = jnp.asarray(np.concatenate([t, t, neg_t, neg_t]))
                 sample = self.sampler.sample(
                     jax.random.fold_in(kk, 2), seeds, node_times=times)
             else:

@@ -187,17 +187,18 @@ class NeighborLoader(NodeLoader):
         (the reference's local_seeds_per_call estimate, ref
         distributed_sampler.py:837-875)."""
         feature_store, graph_store = data
+        if time_attr is not None and input_time is None:
+            raise ValueError(
+                "time_attr requires input_time (per-seed times); without "
+                "it temporal sampling has no seed times and would "
+                "silently run uniform")
         if max_unique_per_hop == "auto":
             from cugraph_gnn_tpu.sampler.heuristics import (
+                resolve_feature_dim,
                 resolve_max_unique_per_hop,
             )
-            x_attr = kwargs.get("x_attr", "x")
-            fd = None
-            for grp in [""] + list(graph_store.node_types):
-                if (grp, x_attr) in feature_store:
-                    size = feature_store.get_tensor_size(grp, x_attr)
-                    fd = size[-1] if len(size) > 1 else 1
-                    break
+            fd = resolve_feature_dim(feature_store, graph_store,
+                                     kwargs.get("x_attr", "x"))
             max_unique_per_hop = resolve_max_unique_per_hop(
                 "auto", batch_size, num_neighbors, fd)
             dedup = True  # caps require the dedup renumbering layout

@@ -95,6 +95,11 @@ class DisjointNeighborSampler:
                              "(per-seed namespaces are dedup'd node lists)")
         self.base = base
         self.max_unique_per_hop = max_unique_per_hop
+        if max_unique_per_hop is not None:
+            # the per-seed bodies run base._sample(batch_size=1), whose
+            # level capacities come from the base's own knob — route the
+            # wrapper's caps there so they actually apply
+            base.max_unique_per_hop = [int(x) for x in max_unique_per_hop]
 
     def sample(self, key, seeds, node_times=None) -> DisjointBatch:
         b = seeds.shape[0]

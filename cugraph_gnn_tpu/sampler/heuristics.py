@@ -114,3 +114,14 @@ def clamp_level_caps(caps: List[int], growth: Sequence[int],
                 "at least the previous level (targets are a prefix of "
                 "the next level)")
     return caps
+
+
+def resolve_feature_dim(feature_store, graph_store, x_attr: str):
+    """Feature width used by the auto memory model: first node group
+    (homogeneous "" or any node type) holding ``x_attr``; None when the
+    store has no features (callers fall back to a default width)."""
+    for grp in [""] + list(graph_store.node_types):
+        if (grp, x_attr) in feature_store:
+            size = feature_store.get_tensor_size(grp, x_attr)
+            return size[-1] if len(size) > 1 else 1
+    return None

@@ -59,8 +59,12 @@ def multihop_uniform(key, indptr, indices, seeds, fanouts,
     window_gather.hub_fraction_edgewise).
     """
     fanouts = tuple(int(f) for f in fanouts)
-    if hub_frac is None or isinstance(hub_frac, float):
+    if hub_frac is None or np.isscalar(hub_frac):
         hub_frac = (hub_frac,) * len(fanouts)
+    elif len(hub_frac) != len(fanouts):
+        raise ValueError(
+            f"hub_frac needs one entry per hop: got {len(hub_frac)} "
+            f"for {len(fanouts)} fanouts")
     caps = level_capacities(int(seeds.shape[0]), fanouts)
     levels = [seeds.astype(jnp.int32)]
     level_counts = [jnp.sum(seeds >= 0).astype(jnp.int32)]

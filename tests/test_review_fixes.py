@@ -213,3 +213,35 @@ def test_link_loader_rejects_orphan_edge_label_time(rng):
         LinkNeighborLoader((fs, gs), num_neighbors=[2],
                            edge_label_index=np.zeros((2, 4), np.int64),
                            edge_label_time=np.zeros(4, np.int32))
+
+
+def test_node_loader_rejects_time_attr_without_input_time(rng):
+    n = 20
+    gs = GraphStore()
+    gs.put_edge_index((np.arange(n - 1), np.arange(1, n)),
+                      ("N", "e", "N"), num_nodes=(n, n))
+    fs = FeatureStore()
+    fs[("", "x")] = np.zeros((n, 4), np.float32)
+    fs[("", "t")] = np.zeros(n - 1, np.int32)
+    from cugraph_gnn_tpu.loader import NeighborLoader
+    with pytest.raises(ValueError, match="input_time"):
+        NeighborLoader((fs, gs), num_neighbors=[2], time_attr="t")
+
+
+def test_disjoint_caps_apply():
+    """DisjointNeighborSampler's max_unique_per_hop must actually cap
+    the per-seed level capacities."""
+    from cugraph_gnn_tpu.ops import coo_to_csr_np
+    from cugraph_gnn_tpu.sampler import DisjointNeighborSampler
+    rng2 = np.random.default_rng(0)
+    n = 60
+    src = rng2.integers(0, n, 600).astype(np.int64)
+    dst = rng2.integers(0, n, 600).astype(np.int64)
+    (indptr, indices), _ = coo_to_csr_np(dst, src, n, sort_by="src")
+    base = NeighborSampler(jnp.asarray(indptr), jnp.asarray(indices),
+                           [4, 4], dedup=True)
+    s = DisjointNeighborSampler(base, max_unique_per_hop=[3, 9])
+    out = s.sample(jax.random.PRNGKey(0),
+                   jnp.arange(6, dtype=jnp.int32))
+    assert out.levels[1].shape == (6, 3)
+    assert out.levels[2].shape == (6, 9)
