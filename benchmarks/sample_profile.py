@@ -1,4 +1,11 @@
-"""Micro-profile of the uniform sampler pieces at bench hop-2 shape.
+"""Micro-profile of the uniform sampler pieces at bench hop-2 shape
+(degree-biased seeds + targets, matching the skewed bench graph).
+
+CAVEAT: these stages time ONE dispatch per iteration, and through the
+axon tunnel a dispatch with large device-array arguments costs ~1.7 ms
+of fixed overhead (the scan-amortized full sampler measures 1.19 ms
+while 'multihop' here reads ~2.9).  Only the DELTAS between stages are
+meaningful; use benchmarks/stage_profile.py for absolute numbers.
 
     timeout 580 python -m benchmarks.sample_profile
 """
@@ -38,24 +45,33 @@ def main():
     indptr = jnp.asarray(indptr_np)
     k = FANOUTS[0]
 
-    @jax.jit
-    def make_data():
-        return jax.random.randint(
-            jax.random.PRNGKey(0), (num_edges_pad,), 0, NUM_NODES, jnp.int32)
+    from cugraph_gnn_tpu.ops.window_gather import hub_fraction_edgewise
+    hub_frac = hub_fraction_edgewise(indptr_np)
 
-    indices = jax.block_until_ready(make_data())
+    @jax.jit
+    def make_data(indptr):
+        # degree-proportional targets, matching bench.py
+        slot = jax.random.randint(
+            jax.random.PRNGKey(0), (num_edges_pad,), 0, num_edges,
+            jnp.int32)
+        return (jnp.searchsorted(indptr, slot, side="right") - 1
+                ).astype(jnp.int32)
+
+    indices = jax.block_until_ready(make_data(indptr))
     log(f"data ready ({num_edges} edges, max_deg {max_degree})")
 
     @jax.jit
-    def v_indptr(acc, key, indptr):
-        seeds = jax.random.randint(key, (S2,), 0, NUM_NODES, jnp.int32)
+    def v_indptr(acc, key, indptr, indices):
+        seeds = indices[jax.random.randint(key, (S2,), 0, num_edges,
+                                   jnp.int32)]  # degree-biased
         start = indptr[seeds].astype(jnp.int32)
         d = (indptr[seeds + 1] - indptr[seeds]).astype(jnp.int32)
         return acc + jnp.sum(start) + jnp.sum(d)
 
     @jax.jit
-    def v_floyd(acc, key, indptr):
-        seeds = jax.random.randint(key, (S2,), 0, NUM_NODES, jnp.int32)
+    def v_floyd(acc, key, indptr, indices):
+        seeds = indices[jax.random.randint(key, (S2,), 0, num_edges,
+                                   jnp.int32)]  # degree-biased
         start = indptr[seeds].astype(jnp.int32)
         d = (indptr[seeds + 1] - indptr[seeds]).astype(jnp.int32)
         u = jax.random.uniform(key, (S2, k))
@@ -64,21 +80,25 @@ def main():
 
     @jax.jit
     def v_window(acc, key, indptr, indices):
-        seeds = jax.random.randint(key, (S2,), 0, NUM_NODES, jnp.int32)
+        seeds = indices[jax.random.randint(key, (S2,), 0, num_edges,
+                                   jnp.int32)]  # degree-biased
         start = indptr[seeds].astype(jnp.int32)
         d = (indptr[seeds + 1] - indptr[seeds]).astype(jnp.int32)
         u = jax.random.uniform(key, (S2, k))
         pos = floyd_positions(u, d, k)
         nbr = gather_csr_values(indices.reshape(-1, 128), start, pos,
-                                degrees=d, max_degree=max_degree)
+                                degrees=d, max_degree=max_degree,
+                                hub_frac=hub_frac)
         return acc + jnp.sum(nbr)
 
     @jax.jit
     def v_onehop(acc, key, indptr, indices):
-        seeds = jax.random.randint(key, (S2,), 0, NUM_NODES, jnp.int32)
+        seeds = indices[jax.random.randint(key, (S2,), 0, num_edges,
+                                   jnp.int32)]  # degree-biased
         out = uniform_sample(key, indptr, indices, seeds, k,
                              indices2d=indices.reshape(-1, 128),
-                             max_degree=max_degree)
+                             max_degree=max_degree,
+                             hub_frac=hub_frac)
         return acc + jnp.sum(out.neighbors)
 
     @jax.jit
@@ -87,7 +107,8 @@ def main():
         s = multihop_uniform(key, indptr, indices, seeds, FANOUTS,
                              dedup=False,
                              indices2d=indices.reshape(-1, 128),
-                             max_degree=max_degree)
+                             max_degree=max_degree,
+                             hub_frac=hub_frac)
         return acc + jnp.sum(s.levels[-1])
 
     key = jax.random.PRNGKey(7)
@@ -109,8 +130,8 @@ def main():
         dt = max(time.perf_counter() - t0 - t_s, 1e-9)
         log(f"{name}: {1e3 * dt / ITERS:.3f} ms/iter")
 
-    timed("seeds+indptr-reads ", lambda a, k: v_indptr(a, k, indptr))
-    timed("+floyd             ", lambda a, k: v_floyd(a, k, indptr))
+    timed("seeds+indptr-reads ", lambda a, k: v_indptr(a, k, indptr, indices))
+    timed("+floyd             ", lambda a, k: v_floyd(a, k, indptr, indices))
     timed("+window-gather     ", lambda a, k: v_window(a, k, indptr, indices))
     timed("one-hop complete   ", lambda a, k: v_onehop(a, k, indptr, indices))
     timed("multihop [10,10]   ", lambda a, k: v_multihop(a, k, indptr, indices))
