@@ -46,25 +46,31 @@ from cugraph_gnn_tpu.store.partition import PartitionBook
 
 
 def _bucket_fallback(fb_src, fb_dst, rows_per_shard: int, world: int,
-                     bucket_by: str = "dst", localize: str = "dst"):
+                     bucket_by: str = "dst", localize: str = "dst",
+                     fb_w=None):
     """Host-side: group fallback edges by ``bucket_by`` ('dst' or 'src')
     shard, pad every shard to the max count (shard_map needs equal
     per-shard shapes), and localize the ``localize`` side's ids to
     shard-relative offsets (the other side stays global for the a2a
-    exchange).  Returns (W * cap,) src / dst arrays, -1 padded; both
-    shape (0,) when the graph has no fallback edges at all (so the
-    distributed-exchange branch compiles out)."""
+    exchange).  Returns (W * cap,) src / dst arrays, -1 padded (plus a
+    0-padded weight array when ``fb_w`` is given); all shape (0,) when
+    the graph has no fallback edges at all (so the distributed-exchange
+    branch compiles out)."""
     fb_src = np.asarray(fb_src)
     fb_dst = np.asarray(fb_dst)
     valid = (fb_src >= 0) & (fb_dst >= 0)
     fb_src, fb_dst = fb_src[valid], fb_dst[valid]
+    if fb_w is not None:
+        fb_w = np.asarray(fb_w, np.float32)[valid]
     if not len(fb_src):
-        return (np.zeros(0, np.int32),) * 2
+        out = (np.zeros(0, np.int32),) * 2
+        return out + (np.zeros(0, np.float32),) if fb_w is not None else out
     shard = (fb_dst if bucket_by == "dst" else fb_src) // rows_per_shard
     cap = int(np.bincount(shard, minlength=world).max(initial=0))
     cap = max(-(-cap // 128) * 128, 128)
     src_p = np.full((world, cap), -1, np.int32)
     dst_p = np.full((world, cap), -1, np.int32)
+    w_p = np.zeros((world, cap), np.float32)
     for w in range(world):
         sel = shard == w
         k = int(sel.sum())
@@ -72,6 +78,10 @@ def _bucket_fallback(fb_src, fb_dst, rows_per_shard: int, world: int,
                                       if localize == "src" else 0)
         dst_p[w, :k] = fb_dst[sel] - (w * rows_per_shard
                                       if localize == "dst" else 0)
+        if fb_w is not None:
+            w_p[w, :k] = fb_w[sel]
+    if fb_w is not None:
+        return src_p.reshape(-1), dst_p.reshape(-1), w_p.reshape(-1)
     return src_p.reshape(-1), dst_p.reshape(-1)
 
 
@@ -88,11 +98,13 @@ def _halo_exchange(x_local, r_blk: int, axis: str, world: int):
     return jnp.concatenate([halo_prev, x_local, halo_next], axis=0)
 
 
-def _shard_spmm_body(ell_local, x_local, fb_src, fb_dst, *, r_blk: int,
-                     k_width: int, world: int, axis: str, book,
-                     compute_dtype, interpret: bool):
+def _shard_spmm_body(ell_local, x_local, fb_src, fb_dst, ell_w=None,
+                     fb_w=None, *, r_blk: int, k_width: int, world: int,
+                     axis: str, book, compute_dtype, interpret: bool):
     """Per-shard body: halo exchange -> slab MXU kernel over local
-    blocks -> distributed fallback gather + local segment reduce."""
+    blocks -> distributed fallback gather + local segment reduce.
+    ``ell_w``/``fb_w``: optional per-edge weights (same layout as the
+    ids)."""
     from jax.experimental import pallas as pl
 
     from cugraph_gnn_tpu.ops.pallas.slab_kernel import _slab_kernel
@@ -101,24 +113,31 @@ def _shard_spmm_body(ell_local, x_local, fb_src, fb_dst, *, r_blk: int,
     nb_local = rs // r_blk
     x_ext = _halo_exchange(x_local, r_blk, axis, world)
 
-    kern = functools.partial(_slab_kernel, k_width, False, compute_dtype)
+    weighted = ell_w is not None
+    kern = functools.partial(_slab_kernel, k_width, weighted, compute_dtype)
+    ell_spec = pl.BlockSpec((r_blk, k_width), lambda b: (b, 0))
     x_specs = [pl.BlockSpec((r_blk, f), lambda b, o=o: (b + o, 0))
                for o in range(3)]
+    in_specs = [ell_spec] + ([ell_spec] if weighted else []) + x_specs
+    args = ([ell_local, ell_w] if weighted else [ell_local]) + [x_ext] * 3
     out = pl.pallas_call(
         kern,
         grid=(nb_local,),
-        in_specs=[pl.BlockSpec((r_blk, k_width), lambda b: (b, 0))] + x_specs,
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((r_blk, f), lambda b: (b, 0)),
         out_shape=jax.ShapeDtypeStruct((rs, f), jnp.float32),
         interpret=interpret,
-    )(ell_local, x_ext, x_ext, x_ext)
+    )(*args)
 
     if fb_src.shape[0]:
         rows = _dist_gather_shard(
             x_local, fb_src, book=book, axis=axis, fill=0)
+        rows = rows.astype(jnp.float32)
+        if fb_w is not None:
+            rows = rows * fb_w[:, None]
         seg = jnp.where(fb_dst >= 0, fb_dst, rs)
         out = out + jax.ops.segment_sum(
-            rows.astype(jnp.float32), seg, num_segments=rs + 1)[:rs]
+            rows, seg, num_segments=rs + 1)[:rs]
     return out
 
 
@@ -131,7 +150,8 @@ class DistFullBatchGraph:
     paths run unchanged on sharded node arrays.
     """
 
-    def __init__(self, indptr, indices, mesh, *, axis: str = STORE_AXIS,
+    def __init__(self, indptr, indices, mesh, *, weights=None,
+                 axis: str = STORE_AXIS,
                  reorder: str = "auto", block_rows: int = 256,
                  max_k: int = 64):
         from cugraph_gnn_tpu.native import build_csr
@@ -140,6 +160,8 @@ class DistFullBatchGraph:
 
         indptr = np.asarray(indptr)
         indices = np.asarray(indices, np.int32)
+        if weights is not None:
+            weights = np.asarray(weights, np.float32)
         n = len(indptr) - 1
         self.num_nodes = n
         self.mesh = mesh
@@ -152,11 +174,13 @@ class DistFullBatchGraph:
                     indptr, indices, rg, block_rows):
                 self._order = rg
                 indptr, indices = rg.indptr, rg.indices
+                if weights is not None:
+                    weights = weights[np.asarray(rg.edge_perm)]
         elif reorder != "none":
             raise ValueError(f"unknown reorder {reorder!r}")
 
-        slab = build_slab_graph(indptr, indices, block_rows=block_rows,
-                                max_k=max_k)
+        slab = build_slab_graph(indptr, indices, weights,
+                                block_rows=block_rows, max_k=max_k)
         self.band_fraction = slab.band_fraction
         self._indptr_g = np.asarray(indptr)
         self._indices_g = np.asarray(indices, np.int32)
@@ -180,8 +204,27 @@ class DistFullBatchGraph:
         self._book = PartitionBook.even(n_pad_w, world)
         sh = NamedSharding(mesh, P(axis))
         self._ell = put_global(ell, sh)
-        fb_src, fb_dst = _bucket_fallback(
-            np.asarray(slab.fb_src), np.asarray(slab.fb_dst), rs, world)
+        self.weighted = weights is not None
+
+        def pad_w(w_arr):
+            w_arr = np.asarray(w_arr, np.float32)
+            if w_arr.shape[0] < n_pad_w:
+                w_arr = np.concatenate([
+                    w_arr, np.zeros((n_pad_w - w_arr.shape[0],
+                                     w_arr.shape[1]), np.float32)])
+            return put_global(w_arr, sh)
+
+        if self.weighted:
+            self._ell_w = pad_w(np.asarray(slab.ell_w))
+            fb_src, fb_dst, fb_w = _bucket_fallback(
+                np.asarray(slab.fb_src), np.asarray(slab.fb_dst), rs,
+                world, fb_w=np.asarray(slab.fb_w))
+            self._fb_w = put_global(fb_w, sh)
+        else:
+            self._ell_w = self._fb_w = None
+            fb_src, fb_dst = _bucket_fallback(
+                np.asarray(slab.fb_src), np.asarray(slab.fb_dst), rs,
+                world)
         self._fb_src = put_global(fb_src, sh)
         self._fb_dst = put_global(fb_dst, sh)
         deg = np.zeros(n_pad_w, np.int32)
@@ -194,17 +237,28 @@ class DistFullBatchGraph:
         rows_np = np.repeat(np.arange(n, dtype=np.int32),
                             deg_np.astype(np.int64))
         ok = (indices >= 0) & (indices < n)
-        t_indptr, t_indices, _ = build_csr(indices[ok], rows_np[ok], n)
-        slab_t = build_slab_graph(t_indptr, t_indices, block_rows=block_rows,
-                                  max_k=max_k)
+        t_indptr, t_indices, t_perm = build_csr(indices[ok], rows_np[ok], n)
+        w_t = (None if weights is None
+               else weights[ok][np.asarray(t_perm)])
+        slab_t = build_slab_graph(t_indptr, t_indices, w_t,
+                                  block_rows=block_rows, max_k=max_k)
         ell_t = np.asarray(slab_t.ell)
         if ell_t.shape[0] < n_pad_w:
             ell_t = np.concatenate([
                 ell_t, np.full((n_pad_w - ell_t.shape[0], ell_t.shape[1]),
                                -1, np.int32)])
         self._ell_t = put_global(ell_t, sh)
-        tb_src, tb_dst = _bucket_fallback(
-            np.asarray(slab_t.fb_src), np.asarray(slab_t.fb_dst), rs, world)
+        if self.weighted:
+            self._ell_w_t = pad_w(np.asarray(slab_t.ell_w))
+            tb_src, tb_dst, tb_w = _bucket_fallback(
+                np.asarray(slab_t.fb_src), np.asarray(slab_t.fb_dst), rs,
+                world, fb_w=np.asarray(slab_t.fb_w))
+            self._fb_w_t = put_global(tb_w, sh)
+        else:
+            self._ell_w_t = self._fb_w_t = None
+            tb_src, tb_dst = _bucket_fallback(
+                np.asarray(slab_t.fb_src), np.asarray(slab_t.fb_dst), rs,
+                world)
         self._fb_src_t = put_global(tb_src, sh)
         self._fb_dst_t = put_global(tb_dst, sh)
         self._diff = {}
@@ -277,12 +331,15 @@ class DistFullBatchGraph:
     def _spmm_sharded(self, x, *, transpose: bool, compute_dtype,
                       arrays=None):
         interpret = jax.default_backend() != "tpu"
+        ell_w = fb_w = None
         if arrays is not None:
             ell, fb_s, fb_d = arrays
         elif transpose:
             ell, fb_s, fb_d = self._ell_t, self._fb_src_t, self._fb_dst_t
+            ell_w, fb_w = self._ell_w_t, self._fb_w_t
         else:
             ell, fb_s, fb_d = self._ell, self._fb_src, self._fb_dst
+            ell_w, fb_w = self._ell_w, self._fb_w
         body = functools.partial(
             _shard_spmm_body, r_blk=self._r_blk, k_width=ell.shape[1],
             world=self._world, axis=self.axis, book=self._book,
@@ -290,6 +347,11 @@ class DistFullBatchGraph:
         p = P(self.axis)
         # check_vma=False: pallas_call out_shapes don't carry vma
         # annotations yet
+        if ell_w is not None:
+            return jax.shard_map(
+                body, mesh=self.mesh, in_specs=(p,) * 6, out_specs=p,
+                check_vma=False,
+            )(ell, x, fb_s, fb_d, ell_w, fb_w)
         return jax.shard_map(
             body, mesh=self.mesh, in_specs=(p, p, p, p), out_specs=p,
             check_vma=False,
@@ -873,8 +935,9 @@ class DistFullBatchGraph:
         return out.reshape(x.shape[0], heads, fh)
 
     @classmethod
-    def from_coo(cls, src, dst, num_nodes: int, mesh, **kw):
+    def from_coo(cls, src, dst, num_nodes: int, mesh, weights=None, **kw):
         from cugraph_gnn_tpu.native import build_csr
-        indptr, indices, _ = build_csr(
+        indptr, indices, perm = build_csr(
             np.asarray(dst, np.int32), np.asarray(src, np.int32), num_nodes)
-        return cls(indptr, indices, mesh, **kw)
+        w = None if weights is None else np.asarray(weights)[perm]
+        return cls(indptr, indices, mesh, weights=w, **kw)

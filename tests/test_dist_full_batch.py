@@ -38,6 +38,36 @@ def test_dist_spmm_matches_single(mesh, frac_far, reduce):
     np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("frac_far", [0.0, 0.25])
+def test_dist_spmm_weighted_matches_single(mesh, frac_far):
+    """Weighted sharded aggregation == single-device weighted slab,
+    forward and gradient (weights ride the ELL + fallback layouts)."""
+    rng = np.random.default_rng(17)
+    n, f = 700, 16
+    src, dst = make_graph(n, 5, 60, rng, frac_far=frac_far)
+    w = rng.uniform(0.1, 2.0, len(src)).astype(np.float32)
+    indptr, indices, perm = build_csr(dst, src, n)
+    w_csr = w[np.asarray(perm)]
+    dfbg = DistFullBatchGraph(indptr, indices, mesh, weights=w_csr,
+                              reorder="none", block_rows=128)
+    fbg = FullBatchGraph(indptr, indices, w_csr, reorder="none",
+                         block_rows=128, min_band_fraction=0.0)
+    x = rng.standard_normal((n, f)).astype(np.float32)
+    out = dfbg.unshard(dfbg.spmm(dfbg.shard(x), reduce="sum"))
+    want = np.asarray(fbg.spmm(jnp.asarray(x), reduce="sum"))
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+
+    g_out = rng.standard_normal((n, f)).astype(np.float32)
+    g_pad = dfbg.shard(g_out)
+    got = dfbg.unshard(jax.grad(
+        lambda xs: jnp.sum(dfbg.spmm(xs, reduce="sum") * g_pad))(
+        dfbg.shard(x)))
+    want_g = np.asarray(jax.grad(
+        lambda xs: jnp.sum(fbg.spmm(xs, reduce="sum") * jnp.asarray(g_out))
+    )(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want_g, rtol=1e-4, atol=1e-4)
+
+
 def test_dist_spmm_grad_matches_single(mesh):
     rng = np.random.default_rng(8)
     n, f = 640, 16
