@@ -1,3 +1,4 @@
+from cugraph_gnn_tpu.models.builder import create_gnn_model, model_from_args
 from cugraph_gnn_tpu.models.conv import (
     GATConv,
     GCNConv,
@@ -26,4 +27,6 @@ __all__ = [
     "RGCN",
     "RGCNConv",
     "SAGEConv",
+    "create_gnn_model",
+    "model_from_args",
 ]

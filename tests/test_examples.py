@@ -111,3 +111,11 @@ def test_full_batch_training_example():
 
 def test_hetero_dist_training_example():
     run_example("hetero_dist_training.py", [], timeout=480)
+
+
+def test_fraud_detection_example():
+    r = run_example("fraud_detection.py",
+                    ["--num-nodes", "800", "--epochs", "2",
+                     "--batch-size", "64", "--neighbors", "4,4",
+                     "--hidden-dim", "32"])
+    assert "RF with GNN" in r.stdout and "gnn-embedding lift" in r.stdout
