@@ -35,7 +35,7 @@ def add_graph_options(p: argparse.ArgumentParser):
 def add_model_options(p: argparse.ArgumentParser):
     g = p.add_argument_group("model")
     g.add_argument("--model", default="sage",
-                   choices=["sage", "gcn", "gat", "rgcn"])
+                   choices=["sage", "gcn", "gat", "gin", "rgcn"])
     g.add_argument("--hidden-dim", type=int, default=256)
     g.add_argument("--num-layers", type=int, default=2)
     g.add_argument("--heads", type=int, default=4)

@@ -41,7 +41,6 @@ def main():
 
     from cugraph_gnn_tpu.data import FeatureStore, GraphStore
     from cugraph_gnn_tpu.loader import NeighborLoader
-    from cugraph_gnn_tpu.models import GAT, GCN, GraphSAGE
     from cugraph_gnn_tpu.utils.datasets import load_karate, random_graph, symmetrize
     from cugraph_gnn_tpu.utils.logging import get_logger, set_log_level
 
@@ -78,9 +77,10 @@ def main():
                             shuffle=True)
     log.info("prep time: %.2fs", time.perf_counter() - t0)
 
-    cls = {"sage": GraphSAGE, "gcn": GCN, "gat": GAT}[args.model]
-    model = cls(hidden_features=args.hidden_dim, out_features=num_classes,
-                num_layers=len(fanouts))
+    from cugraph_gnn_tpu.models.builder import create_gnn_model
+    model = create_gnn_model(args.model, class_count=num_classes,
+                             hidden_feat_dim=args.hidden_dim,
+                             num_layers=len(fanouts), num_heads=args.heads)
 
     b0 = next(iter(loader))
     params = model.init(jax.random.PRNGKey(0), b0.x, b0.sample)
