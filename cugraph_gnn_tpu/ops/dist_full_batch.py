@@ -890,17 +890,20 @@ class DistFullBatchGraph:
         x (N_pad, H, F) row-sharded; alphas (N_pad, H).  All heads run
         in ONE sharded kernel pass per direction (single halo round,
         adjacency amortized — same win as the single-chip mh path);
-        heads beyond the packed-lane budget fall back to the per-head
-        loop."""
+        heads beyond the packed-lane budget run in head-group chunks
+        of MAX_PACKED_HEADS (one halo round + one adjacency pass per
+        chunk instead of per head)."""
         from cugraph_gnn_tpu.ops.pallas.slab_attn_grad import (
             MAX_PACKED_HEADS)
         heads, fh = x.shape[1], x.shape[2]
         if heads > MAX_PACKED_HEADS:
-            return jnp.stack([
-                self.attention_spmm(x[:, h], alpha_dst[:, h],
-                                    alpha_src[:, h],
-                                    negative_slope=negative_slope)
-                for h in range(heads)
+            return jnp.concatenate([
+                self.attention_spmm_mh(
+                    x[:, h0:h0 + MAX_PACKED_HEADS],
+                    alpha_dst[:, h0:h0 + MAX_PACKED_HEADS],
+                    alpha_src[:, h0:h0 + MAX_PACKED_HEADS],
+                    negative_slope=negative_slope)
+                for h0 in range(0, heads, MAX_PACKED_HEADS)
             ], axis=1)
         key = ("attn_mh", heads, fh, negative_slope)
         if key not in self._diff_attn:

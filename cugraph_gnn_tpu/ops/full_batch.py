@@ -215,14 +215,24 @@ class FullBatchGraph:
         all H heads run in ONE kernel pass per direction (forward and
         backward), amortizing the adjacency reconstruction (measured
         1.28x fwd / 1.57x bwd over the per-head loop at H=4, v5e);
-        heads beyond the packed-lane budget (or off the slab path)
-        fall back to the per-head single-head calls."""
+        heads beyond the packed-lane budget run in head-group chunks
+        of MAX_PACKED_HEADS (adjacency still amortized per chunk, not
+        per head); off the slab path: per-head single-head calls."""
         from cugraph_gnn_tpu.ops.pallas.slab_attn_grad import (
             MAX_PACKED_HEADS)
         heads = x.shape[1]
-        if self.use_slab and heads <= MAX_PACKED_HEADS:
-            return self._diff_attention_mh(negative_slope)(
-                x, alpha_dst, alpha_src)
+        if self.use_slab:
+            if heads <= MAX_PACKED_HEADS:
+                return self._diff_attention_mh(negative_slope)(
+                    x, alpha_dst, alpha_src)
+            return jnp.concatenate([
+                self.attention_spmm_mh(
+                    x[:, h0:h0 + MAX_PACKED_HEADS],
+                    alpha_dst[:, h0:h0 + MAX_PACKED_HEADS],
+                    alpha_src[:, h0:h0 + MAX_PACKED_HEADS],
+                    negative_slope=negative_slope)
+                for h0 in range(0, heads, MAX_PACKED_HEADS)
+            ], axis=1)
         return jnp.stack([
             self.attention_spmm(x[:, h], alpha_dst[:, h], alpha_src[:, h],
                                 negative_slope=negative_slope)

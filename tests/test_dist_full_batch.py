@@ -303,3 +303,27 @@ def test_dist_full_batch_model_trains(mesh):
         params, opt, loss = step(params, opt)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.7, (losses[0], losses[-1])
+
+
+def test_dist_attention_mh_head_chunking(mesh):
+    """heads > MAX_PACKED_HEADS run as head-group chunks of the fused
+    sharded kernel: forward matches per-head sharded calls."""
+    from cugraph_gnn_tpu.ops.pallas.slab_attn_grad import MAX_PACKED_HEADS
+
+    rng = np.random.default_rng(15)
+    n, f, h = 400, 4, MAX_PACKED_HEADS + 2
+    src, dst = make_graph(n, 3, 40, rng, frac_far=0.15)
+    indptr, indices, _ = build_csr(dst, src, n)
+    dfbg = DistFullBatchGraph(indptr, indices, mesh, reorder="none",
+                              block_rows=128)
+    x = rng.standard_normal((n, h, f)).astype(np.float32)
+    a_d = rng.standard_normal((n, h)).astype(np.float32)
+    a_s = rng.standard_normal((n, h)).astype(np.float32)
+    xs, ads, ass = dfbg.shard(x), dfbg.shard(a_d), dfbg.shard(a_s)
+
+    out_mh = dfbg.unshard(dfbg.attention_spmm_mh(xs, ads, ass))
+    for hh in (0, MAX_PACKED_HEADS - 1, MAX_PACKED_HEADS, h - 1):
+        want = dfbg.unshard(dfbg.attention_spmm(
+            xs[:, hh], ads[:, hh], ass[:, hh]))
+        np.testing.assert_allclose(out_mh[:, hh], want, rtol=2e-4,
+                                   atol=2e-4, err_msg=f"fwd head {hh}")

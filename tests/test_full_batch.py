@@ -142,3 +142,35 @@ def test_spmm_gradient_matches_segment(graph):
     g_seg = jax.grad(loss_seg)(xg)
     np.testing.assert_allclose(np.asarray(g_slab), np.asarray(g_seg),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_attention_mh_head_chunking_matches_per_head(graph):
+    """heads > MAX_PACKED_HEADS route through head-group chunks of the
+    fused kernel (not a per-head loop): fwd + all grads == the
+    single-head fused path stacked."""
+    from cugraph_gnn_tpu.ops.pallas.slab_attn_grad import MAX_PACKED_HEADS
+
+    fbg, x, src, dst, n = graph
+    h, f = MAX_PACKED_HEADS + 3, 4
+    rng = np.random.default_rng(9)
+    xh = jnp.asarray(rng.standard_normal((n, h, f)).astype(np.float32))
+    a_d = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    a_s = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((n, h, f)).astype(np.float32))
+
+    out = fbg.attention_spmm_mh(xh, a_d, a_s)
+    want = jnp.stack([fbg.attention_spmm(xh[:, i], a_d[:, i], a_s[:, i])
+                      for i in range(h)], axis=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    loss = lambda fn: lambda *a: jnp.sum(fn(*a) * g)
+    per_head = lambda xh, a_d, a_s: jnp.stack(
+        [fbg.attention_spmm(xh[:, i], a_d[:, i], a_s[:, i])
+         for i in range(h)], axis=1)
+    got = jax.grad(loss(fbg.attention_spmm_mh), argnums=(0, 1, 2))(
+        xh, a_d, a_s)
+    ref = jax.grad(loss(per_head), argnums=(0, 1, 2))(xh, a_d, a_s)
+    for a, b, name in zip(got, ref, ("dx", "dad", "das")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
