@@ -1,0 +1,273 @@
+"""Benchmark: sampled edges/s/chip through the full training pipeline
+(sample -> feature gather -> GraphSAGE fwd/bwd -> update) on an
+ogbn-products-scale synthetic graph, run on the real TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (BASELINE.md); vs_baseline is
+measured against the round-1 pinned value below so later rounds show
+relative progress.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+# Round-1 pinned reference point: end-of-round-1 measurement on one TPU
+# v5e chip with dependency-forced timing (7.85 ms/iter full GraphSAGE
+# train step = 15.65M sampled edges/s).  Later rounds' vs_baseline
+# shows progress relative to this.  Kept across the round-2 switch to a
+# power-law degree graph (below) so the trend stays comparable.
+BASELINE_EDGES_PER_S = 1.565e7
+
+# ogbn-products scale: 2.45M nodes, ~122M directed edges.  Round 2:
+# degrees follow a Pareto-ish power law (deg = clip(floor(25 u^-0.5),
+# 1, 17000) -> mean ~46, max ~17k, like products' skew) instead of the
+# round-1 constant degree 50 — the skewed tail stresses Floyd's
+# small-degree path and the hybrid window/per-entry neighbor-id gather.
+NUM_NODES = 2_449_029
+DEG_SCALE = 25.0
+DEG_ALPHA = -0.5
+DEG_CAP = 17_000
+# products features are 100-dim; pad to the 128 TPU lane width — row
+# gather on unaligned widths is ~4x slower (measured 4.7ms -> 1.1ms for
+# the batch gather).  The loader exposes the same knob (pad_features).
+FEAT_DIM = 128
+HIDDEN = 256
+CLASSES = 47
+BATCH = 1024
+FANOUTS = (10, 10)
+WARMUP = 3
+ITERS = 200
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import optax
+
+    from cugraph_gnn_tpu.models import GraphSAGE
+    from cugraph_gnn_tpu.sampler import NeighborSampler
+
+    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+
+    from cugraph_gnn_tpu.sampler.neighbor_sampler import multihop_uniform
+
+    # Power-law degrees are drawn on the HOST (cheap, and the edge count
+    # must be static for jit); the big arrays (indices, features) are
+    # generated ON DEVICE — the host->device tunnel collapses to ~MB/s
+    # on GB-size transfers.  Only the 9.8MB indptr is uploaded.
+    t = time.perf_counter()
+    host_rng = np.random.default_rng(0)
+    deg = np.minimum(
+        np.floor(DEG_SCALE * host_rng.random(NUM_NODES) ** DEG_ALPHA),
+        DEG_CAP).astype(np.int64)
+    max_degree = int(deg.max())
+    indptr_np = np.concatenate([[0], np.cumsum(deg)]).astype(np.int32)
+    from cugraph_gnn_tpu.ops.window_gather import (
+        hub_fraction,
+        hub_fraction_edgewise,
+    )
+    # static stats -> hub buffer sizes: hop-0 seeds are uniform
+    # (row-wise fraction), deeper frontiers are degree-biased
+    # (edge-wise fraction)
+    hub_frac = (hub_fraction(indptr_np), hub_fraction_edgewise(indptr_np))
+    num_edges = int(indptr_np[-1])
+    # pad the edge array to a 512B-line multiple for the window gather
+    num_edges_pad = -(-num_edges // 128) * 128
+    indptr_j = jnp.asarray(indptr_np)
+
+    @jax.jit
+    def make_data(indptr):
+        # neighbor ids drawn PROPORTIONAL TO DEGREE (pick a random edge
+        # slot, take its owning row): a symmetrized power-law graph has
+        # matching in-degree skew, so sampled frontiers concentrate on
+        # hubs — the realistic access pattern (uniform targets would
+        # flatter nothing but hide hub-induced duplication).  indptr is
+        # an ARGUMENT (a closure would embed it as an XLA constant).
+        slot = jax.random.randint(
+            jax.random.PRNGKey(0), (num_edges_pad,), 0, num_edges,
+            jnp.int32)
+        indices = (jnp.searchsorted(indptr, slot, side="right") - 1
+                   ).astype(jnp.int32)
+        feats = jax.random.normal(
+            jax.random.PRNGKey(1), (NUM_NODES, FEAT_DIM), jnp.bfloat16)
+        labels = jax.random.randint(
+            jax.random.PRNGKey(2), (NUM_NODES,), 0, CLASSES, jnp.int32)
+        return indices, feats, labels
+
+    indices_j, feats, labels = jax.block_until_ready(make_data(indptr_j))
+    log(f"device data ready in {time.perf_counter()-t:.1f}s "
+        f"({num_edges} edges, mean deg {num_edges/NUM_NODES:.1f}, "
+        f"max deg {max_degree})")
+
+    # bf16 features + activations (f32 params/optimizer): standard TPU
+    # training precision; halves gather bytes and doubles MXU rate.
+    model = GraphSAGE(hidden_features=HIDDEN, out_features=CLASSES,
+                      num_layers=len(FANOUTS), dtype=jnp.bfloat16)
+    seeds0 = jnp.arange(BATCH, dtype=jnp.int32)
+    t = time.perf_counter()
+    sample0 = jax.block_until_ready(jax.jit(
+        multihop_uniform,
+        static_argnames=("fanouts", "dedup", "max_degree", "hub_frac"))(
+        jax.random.PRNGKey(0), indptr_j, indices_j, seeds0, fanouts=FANOUTS,
+        dedup=False, indices2d=indices_j.reshape(-1, 128),
+        max_degree=max_degree, hub_frac=hub_frac))
+    log(f"sampler compile+run in {time.perf_counter()-t:.1f}s")
+    t = time.perf_counter()
+    x0 = feats[jnp.clip(sample0.input_nodes, 0)]
+    params = model.init(jax.random.PRNGKey(1), x0, sample0)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    log(f"model init in {time.perf_counter()-t:.1f}s")
+
+    from cugraph_gnn_tpu.sampler.output import HopBlock, MultihopBatch
+
+    # REPS training steps per dispatch (lax.scan over steps — standard
+    # TPU practice; per-dispatch latency through the axon tunnel is
+    # ~0.25-0.4 ms, which would otherwise be billed to every step).
+    REPS = 10
+
+    def train_step(carry, xs):
+        params, opt_state, edge_total = carry
+        (lv0, lv1, lv2), (h0g, h0e, h1g, h1e), x, y = xs
+        seeds = lv0
+        # static-layout neigh_local is position arithmetic — rebuild it
+        # for the per-batch view instead of permuting the big batch's.
+        hops = []
+        for ng, ne in ((h0g, h0e), (h1g, h1e)):
+            t, k = ng.shape
+            pos = (t + jnp.arange(t * k, dtype=jnp.int32)).reshape(t, k)
+            hops.append(HopBlock(jnp.where(ng >= 0, pos, -1), ng, ne))
+        sample = MultihopBatch(
+            levels=[lv0, lv1, lv2],
+            level_counts=[jnp.sum(l >= 0).astype(jnp.int32)
+                          for l in (lv0, lv1, lv2)],
+            hops=hops,
+            seed_count=jnp.sum(lv0 >= 0).astype(jnp.int32),
+            static_layout=True)
+
+        def loss_fn(p):
+            logits = model.apply(p, x, sample).astype(jnp.float32)
+            valid = seeds >= 0
+            ls = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            return jnp.sum(jnp.where(valid, ls, 0)) / jnp.maximum(
+                jnp.sum(valid), 1)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        edges = sum(jnp.sum(h.mask) for h in sample.hops)
+        return (params, opt_state, edge_total + edges.astype(jnp.int32)), loss
+
+    G = REPS
+    k1, k2 = FANOUTS
+
+    def split2(a, part_rows):
+        """Per-batch view of a big-batch level-ordered array: the big
+        dedup=False layout is [part0 | part1 | ...] with each part
+        row-major over G batches; return (G, sum(parts), ...) by free
+        reshapes + one concat."""
+        chunks, off = [], 0
+        for rows in part_rows:
+            part = a[off:off + G * rows]
+            chunks.append(part.reshape((G, rows) + a.shape[1:]))
+            off += rows * G
+        return jnp.concatenate(chunks, axis=1)
+
+    @jax.jit
+    def train_block(params, opt_state, edge_total, key, indptr, indices,
+                    feats, labels):
+        # CALL-GROUP sampling (ref distributed_sampler.py
+        # local_seeds_per_call): sample ONE big batch of G*B seeds —
+        # every internal gather and the feature gather run at group
+        # width (G*113k rows ride the large-batch row-rate ramp).  The
+        # dedup=False static layout is per-seed independent, so each
+        # batch's arrays are contiguous chunks recovered by free
+        # reshapes; the model scans over per-batch views.
+        sk, pk = jax.random.split(key)
+        seeds_big = jax.random.randint(pk, (G * BATCH,), 0, NUM_NODES,
+                                       jnp.int32)
+        smp = multihop_uniform(sk, indptr, indices, seeds_big, FANOUTS,
+                               dedup=False,
+                               indices2d=indices.reshape(-1, 128),
+                               max_degree=max_degree, hub_frac=hub_frac)
+        B = BATCH
+        # big levels: L0=[s], L1=[s | n1], L2=[s | n1 | n2s | n2n] where
+        # n2 rows follow big-L1 target order (seed targets then n1
+        # targets), each part row-major over batches.
+        x_big = jnp.where((smp.input_nodes >= 0)[:, None],
+                          feats[jnp.clip(smp.input_nodes, 0)], 0)
+        xg = split2(x_big, (B, B * k1, B * k2, B * k1 * k2))
+        h0g, h0e = (split2(a, (B,)) for a in
+                    (smp.hops[0].neigh_global, smp.hops[0].edge_ids))
+        h1g, h1e = (split2(a, (B, B * k1)) for a in
+                    (smp.hops[1].neigh_global, smp.hops[1].edge_ids))
+        lv0 = seeds_big.reshape(G, B)
+        lv1 = split2(smp.levels[1], (B, B * k1))
+        lv2 = split2(smp.levels[2], (B, B * k1, B * k2, B * k1 * k2))
+        y = labels[jnp.clip(lv0, 0)]
+        carry = (params, opt_state, edge_total)
+        carry, losses = jax.lax.scan(
+            train_step, carry,
+            ((lv0, lv1, lv2), (h0g, h0e, h1g, h1e), xg, y))
+        params, opt_state, edge_total = carry
+        return params, opt_state, edge_total, losses[-1]
+
+    key = jax.random.PRNGKey(2)
+    edge_total = jnp.zeros((), jnp.int32)
+    for i in range(WARMUP):
+        key, sk = jax.random.split(key)
+        params, opt_state, edge_total, loss = train_block(
+            params, opt_state, edge_total, sk, indptr_j, indices_j,
+            feats, labels)
+    jax.block_until_ready(params)
+    log("warmup done")
+
+    # Timing: `block_until_ready` does NOT reliably wait through the
+    # axon tunnel, and a scalar readback has a large fixed cost.
+    # Measure by iteration-count differencing: run loops of 1 and
+    # NB+1 scan-blocks, each ended by a *dependent* readback (the
+    # edge-count accumulator threads through every step), and subtract.
+    def run(nblocks, params, opt_state):
+        nonlocal key
+        edge_total = jnp.zeros((), jnp.int32)
+        for i in range(nblocks):
+            key, sk = jax.random.split(key)
+            params, opt_state, edge_total, loss = train_block(
+                params, opt_state, edge_total, sk, indptr_j, indices_j,
+                feats, labels)
+        return int(edge_total), params, opt_state
+
+    NB = ITERS // REPS
+    _, params, opt_state = run(1, params, opt_state)  # warm
+    t0 = time.perf_counter()
+    _, params, opt_state = run(1, params, opt_state)
+    t_small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    total_edges, params, opt_state = run(NB + 1, params, opt_state)
+    t_big = time.perf_counter() - t0
+    dt = max(t_big - t_small, 1e-9)
+    total_edges = total_edges * NB // (NB + 1)
+    log(f"timed: {t_big:.2f}s[{(NB+1)*REPS}] - {t_small:.2f}s[{REPS}] -> "
+        f"{1e3*dt/ITERS:.2f} ms/iter")
+
+    edges_per_s = total_edges / dt
+    print(json.dumps({
+        "metric": "sampled_edges_per_s_per_chip",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(edges_per_s / BASELINE_EDGES_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

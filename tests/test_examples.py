@@ -113,6 +113,13 @@ def test_hetero_dist_training_example():
     run_example("hetero_dist_training.py", [], timeout=480)
 
 
+def test_xgb_downstream_example():
+    r = run_example("xgb_downstream.py",
+                    ["--num_nodes", "600", "--epochs", "1",
+                     "--hidden_dim", "16", "--num_boost_round", "3"])
+    assert "mlogloss" in r.stdout
+
+
 def test_fraud_detection_example():
     r = run_example("fraud_detection.py",
                     ["--num-nodes", "800", "--epochs", "2",
