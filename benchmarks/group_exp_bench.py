@@ -27,10 +27,11 @@ def log(msg):
 BASELINE_EDGES_PER_S = 1.565e7
 
 # ogbn-products scale: 2.45M nodes, ~122M directed edges.  Round 2:
-# degrees follow a Pareto-ish power law (deg = clip(floor(25 u^-0.5),
-# 1, 17000) -> mean ~46, max ~17k, like products' skew) instead of the
-# round-1 constant degree 50 — the skewed tail stresses Floyd's
-# small-degree path and the hybrid window/per-entry neighbor-id gather.
+# degrees follow a Pareto-ish power law deg = min(floor(25 u^-0.5),
+# 17000) with u ~ Uniform(0, 1] (min degree 25, mean ~46, max ~17k,
+# like products' skew) instead of the round-1 constant degree 50 — the
+# skewed tail stresses Floyd's small-degree path and the hybrid
+# window/per-entry neighbor-id gather.
 NUM_NODES = 2_449_029
 DEG_SCALE = 25.0
 DEG_ALPHA = -0.5
@@ -49,7 +50,12 @@ ITERS = 200
 
 def main():
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import os
+    cache = os.environ.get(
+        "JAX_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import optax
@@ -67,8 +73,10 @@ def main():
     # on GB-size transfers.  Only the 9.8MB indptr is uploaded.
     t = time.perf_counter()
     host_rng = np.random.default_rng(0)
+    # (1 - random()) maps to (0, 1]: u == 0 would blow up u**-0.5
     deg = np.minimum(
-        np.floor(DEG_SCALE * host_rng.random(NUM_NODES) ** DEG_ALPHA),
+        np.floor(DEG_SCALE
+                 * (1.0 - host_rng.random(NUM_NODES)) ** DEG_ALPHA),
         DEG_CAP).astype(np.int64)
     max_degree = int(deg.max())
     indptr_np = np.concatenate([[0], np.cumsum(deg)]).astype(np.int32)

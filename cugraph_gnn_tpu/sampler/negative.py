@@ -47,10 +47,13 @@ def sample_negative_edges(key, num_src: int, num_dst: int, count: int,
                           src: Optional[jax.Array] = None):
     """Draw ``count`` negative (src, dst) pairs.
 
-    edge_key_sorted: optional sorted array of src*num_dst+dst keys of the
-    true edges; sampled pairs colliding with a true edge get dst
-    re-drawn once and are masked out if still colliding (bounded work,
-    no dynamic loop).
+    edge_key_sorted: optional (E, 2) int32 array of the true edges'
+    (src, dst) pairs in lexicographic order (from make_edge_key_sorted);
+    sampled pairs colliding with a true edge get dst re-drawn once and
+    are masked out if still colliding (bounded work, no dynamic loop).
+    Two int32 columns rather than a packed src*num_dst+dst scalar: with
+    jax_enable_x64 off an int64 key would silently truncate to int32 and
+    wrap once num_src*num_dst exceeds 2**31.
 
     node_time/seed_time: temporal constraint (PyG semantics, ref
     sampler_utils.py:213-311 rejection-resampling loop): negative dst d
@@ -82,11 +85,28 @@ def sample_negative_edges(key, num_src: int, num_dst: int, count: int,
         dst = jnp.where(node_time[dst] > seed_time, -1, dst)
         src = jnp.where(dst < 0, -1, src)
     if edge_key_sorted is not None:
+        e_src = edge_key_sorted[:, 0]
+        e_dst = edge_key_sorted[:, 1]
+        n_edges = e_src.shape[0]
+
         def is_edge(s, d):
-            kk = s.astype(jnp.int64) * num_dst + jnp.maximum(d, 0)
-            pos = jnp.searchsorted(edge_key_sorted, kk)
-            pos = jnp.clip(pos, 0, edge_key_sorted.shape[0] - 1)
-            return (edge_key_sorted[pos] == kk) & (s >= 0) & (d >= 0)
+            # lexicographic binary search over (src, dst) pairs —
+            # fixed iteration count so it stays jit-compatible and
+            # avoids packing into a (truncatable) scalar key.
+            dd = jnp.maximum(d, 0)
+            lo = jnp.zeros_like(s)
+            hi = jnp.full_like(s, n_edges)
+            for _ in range(max(1, int(n_edges).bit_length())):
+                mid = (lo + hi) >> 1
+                safe = jnp.minimum(mid, n_edges - 1)
+                ks = e_src[safe]
+                kd = e_dst[safe]
+                less = (ks < s) | ((ks == s) & (kd < dd))
+                lo = jnp.where(less, mid + 1, lo)
+                hi = jnp.where(less, hi, mid)
+            pos = jnp.minimum(lo, n_edges - 1)
+            return ((e_src[pos] == s) & (e_dst[pos] == dd)
+                    & (s >= 0) & (d >= 0))
         hit = is_edge(src, dst)
         dst2 = _weighted_choice(k3, num_dst, (count,), config.dst_weight)
         if node_time is not None and seed_time is not None:
@@ -125,5 +145,13 @@ def neg_cat(pos, neg, batch_size: int):
 
 
 def make_edge_key_sorted(src, dst, num_dst: int):
-    key = np.asarray(src).astype(np.int64) * num_dst + np.asarray(dst)
-    return jnp.asarray(np.sort(key))
+    """Lexicographically sorted (E, 2) int32 (src, dst) table for true-edge
+    rejection.  num_dst is kept for signature compatibility; sorting is
+    done host-side in real int64 so pairs beyond 2**31 combinations stay
+    exact (the device representation is two int32 columns, never a
+    packed scalar — see sample_negative_edges)."""
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    order = np.lexsort((dst, src))
+    pairs = np.stack([src[order], dst[order]], axis=1).astype(np.int32)
+    return jnp.asarray(pairs)

@@ -22,9 +22,13 @@ import os
 import numpy as np
 
 
-def make_embeddings(args):
+def make_embeddings(args, train_mask):
     """Train a small encoder and export [raw features | embedding] for
-    every node — the minimal version of fraud_detection.py's sweep."""
+    every node — the minimal version of fraud_detection.py's sweep.
+
+    The encoder's supervised loss only sees nodes in ``train_mask`` —
+    the downstream tree split reuses the same mask, so no test-node
+    label ever leaks into the exported embedding columns."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -56,11 +60,13 @@ def make_embeddings(args):
     tx = optax.adam(1e-2)
     opt = tx.init(params)
 
+    train_mask_dev = jnp.asarray(train_mask)
+
     @jax.jit
     def step(params, opt, xb, sample, yb, seeds):
         def loss_fn(p):
             logits = model.apply(p, xb, sample)
-            valid = seeds >= 0
+            valid = (seeds >= 0) & train_mask_dev[jnp.maximum(seeds, 0)]
             ls = optax.softmax_cross_entropy_with_integer_labels(logits, yb)
             return jnp.sum(jnp.where(valid, ls, 0)) / jnp.maximum(
                 jnp.sum(valid), 1)
@@ -99,19 +105,23 @@ def main():
     parser.add_argument("--hidden_dim", type=int, default=32)
     args = parser.parse_args()
 
+    # ref xgb.py:40-57 — random 80/20 split on a uniform column.  The
+    # split is fixed up front so the self-contained path can train its
+    # encoder on the train side only (no test-label leakage into the
+    # exported embeddings).
+    rng = np.random.default_rng(42)
     if args.data_dir:
         x = np.asarray(np.load(os.path.join(args.data_dir, "x.npy")),
                        np.float32)
         y = np.asarray(np.load(os.path.join(args.data_dir, "y.npy")),
                        np.int64)
+        r = rng.random(len(y))
+        train, test = r <= 0.8, r > 0.8
     else:
-        x, y = make_embeddings(args)
+        r = rng.random(args.num_nodes)
+        train, test = r <= 0.8, r > 0.8
+        x, y = make_embeddings(args, train)
     print(f"embeddings: {x.shape}, classes: {len(np.unique(y))}", flush=True)
-
-    # ref xgb.py:40-57 — random 80/20 split on a uniform column.
-    rng = np.random.default_rng(42)
-    r = rng.random(len(y))
-    train, test = r <= 0.8, r > 0.8
 
     # ref xgb.py:63-84 — hist trees, max_depth 10, eta 0.1,
     # multi:softmax objective with mlogloss eval.

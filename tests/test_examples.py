@@ -114,6 +114,7 @@ def test_hetero_dist_training_example():
 
 
 def test_xgb_downstream_example():
+    pytest.importorskip("sklearn")
     r = run_example("xgb_downstream.py",
                     ["--num_nodes", "600", "--epochs", "1",
                      "--hidden_dim", "16", "--num_boost_round", "3"])
