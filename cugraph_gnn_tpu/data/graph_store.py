@@ -156,6 +156,14 @@ class SamplingGraph:
         maxdeg = {}
         perms = {}
         edge_base = 0
+        total_edges = sum(len(e.src) for e in store._edges.values())
+        if total_edges >= 2**31 - 1:
+            raise ValueError(
+                f"{total_edges} edges exceed the single-device int32 "
+                "edge-id space (and any realistic single-chip HBM); "
+                "shard the graph with sampler.DistGraph / "
+                "DistNeighborLoader, whose 64-bit edge-id planes "
+                "(ops/edge_ids.py) cover it")
         for et in store.edge_types:
             st, _, dt = et
             e = store._edges[et]

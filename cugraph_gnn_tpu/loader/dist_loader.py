@@ -282,9 +282,10 @@ class DistNeighborLoader:
             return batch, x, y
 
         opt = lambda v: P() if v is None else P(axis)
+        hi_spec = None if g.edge_id_bits == 32 else P(axis)
         batch_specs = MultihopBatch(
             levels=[P(axis)] * n_lvl, level_counts=[P()] * n_lvl,
-            hops=[HopBlock(P(axis), P(axis), P(axis))
+            hops=[HopBlock(P(axis), P(axis), P(axis), hi_spec)
                   for _ in self.sampler.fanouts],
             seed_count=P(),
             static_layout=not self.sampler.dedup,

@@ -59,11 +59,19 @@ class DistGraph(NamedTuple):
     indices: (W * max_edges_per_shard,) sharded — global column ids,
       -1 padded per shard; per-shard slice length is a 128 multiple so
       samplers can ride the line-window gather.
-    edge_base: (W,) replicated — global edge-id offset of each shard.
+    edge_base: replicated global edge-id offset of each shard —
+      (W,) int32 when the graph's edge-id space fits int32
+      (edge_id_bits == 32), else (W, 2) int32 [hi, lo] planes of the
+      int64 bases (ops/edge_ids.py; lo modulus 2**30).
     weights / times: optional per-edge arrays sharded like ``indices``
       (biased / temporal sampling variants).
     max_degree: static global degree bound (chunked top-k trip count).
-    book: row partition book.  mesh/axis: placement.
+    book: row partition book (default: edge-balanced — each shard holds
+      ~equal edges, so the padded per-shard edge buffer is ~E/W instead
+      of the max-degree-skewed even-row split).  mesh/axis: placement.
+    edge_id_bits: 32 (packed int32 global edge ids, the fast common
+      case) or 64 (sampled edge ids come back as (hi, lo) int32 planes;
+      ref int64-id sampling, wholegraph_op.h:31-54).
     """
 
     indptr: jax.Array
@@ -75,6 +83,7 @@ class DistGraph(NamedTuple):
     weights: Optional[jax.Array] = None
     times: Optional[jax.Array] = None
     max_degree: Optional[int] = None
+    edge_id_bits: int = 32
 
     @property
     def rows_per_shard(self) -> int:
@@ -83,15 +92,19 @@ class DistGraph(NamedTuple):
     @staticmethod
     def from_global_csr(indptr, indices, mesh: Mesh,
                         axis: str = STORE_AXIS, weights=None,
-                        times=None) -> "DistGraph":
+                        times=None, book: Optional[PartitionBook] = None,
+                        edge_id_bits: Optional[int] = None
+                        ) -> "DistGraph":
         """Partition a host CSR row-wise onto the mesh.  ``weights`` /
         ``times`` are optional per-edge arrays in global CSR edge order
-        (enable the biased / temporal sampling variants)."""
+        (enable the biased / temporal sampling variants).  ``book``
+        overrides the default edge-balanced row partition."""
         indptr = np.asarray(indptr)
         indices = np.asarray(indices)
         n = len(indptr) - 1
         w = mesh.shape[axis]
-        book = PartitionBook.even(n, w)
+        if book is None:
+            book = PartitionBook.edge_balanced(indptr, w)
         rps = book.shard_size
         max_edges = 1
         shard_ip = np.zeros((w, rps + 1), np.int32)
@@ -112,9 +125,8 @@ class DistGraph(NamedTuple):
         shard_ix = np.full((w, max_edges), -1, np.int32)
         for r, sl in enumerate(slices):
             shard_ix[r, : sl.stop - sl.start] = indices[sl]
-        sh = NamedSharding(mesh, P(axis))
 
-        def shard_edge_attr(attr):
+        def shard_edge_attr(attr, sh):
             if attr is None:
                 return None
             attr = np.asarray(attr)
@@ -124,26 +136,194 @@ class DistGraph(NamedTuple):
             return put_global(out.reshape(-1), sh)
 
         deg = indptr[1:] - indptr[:-1]
-        return DistGraph(
-            indptr=put_global(shard_ip.reshape(-1), sh),
-            indices=put_global(shard_ix.reshape(-1), sh),
-            edge_base=put_global(bases, NamedSharding(mesh, P())),
-            book=book, mesh=mesh, axis=axis,
-            weights=shard_edge_attr(weights),
-            times=shard_edge_attr(times),
-            max_degree=int(deg.max(initial=0)))
+        return _assemble_dist_graph(
+            shard_ip, shard_ix, bases, int(indptr[-1]),
+            int(deg.max(initial=0)), book, mesh, axis,
+            weights=weights, times=times, shard_edge_attr=shard_edge_attr,
+            edge_id_bits=edge_id_bits)
+
+    @staticmethod
+    def from_shard_files(edge_files, num_nodes: int, mesh: Mesh,
+                         axis: str = STORE_AXIS, weights_files=None,
+                         times_files=None,
+                         book: Optional[PartitionBook] = None,
+                         edges_per_shard=None,
+                         edge_id_bits: Optional[int] = None) -> "DistGraph":
+        """Out-of-core construction from per-rank COO edge files —
+        the global graph is never materialised on any one host
+        (ref data/graph_store.py:135-208 builds from rank-local COO
+        shards with allgathered sizes; file_io.cpp:91-872 loads rank
+        partitions from filelists).
+
+        edge_files: list of .npy paths, each an (E_k, 2) int array of
+        [src, dst] rows (any dtype up to int64).  The concatenation of
+        the files in order is the logical COO — identical sampled
+        batches to ``from_global_csr`` on that COO's CSR (same book).
+        Files are mmap'd and streamed one at a time; per-shard CSRs are
+        built by stable bucketing (within-row edge order == global COO
+        order, so edge ids match the global build bit-exactly).
+
+        weights_files / times_files: optional per-edge attribute .npy
+        files aligned row-for-row with edge_files.
+
+        book: row partition; default edge-balanced, which needs the
+        per-row degree histogram — computed in one streaming pass.
+        edges_per_shard: optional precomputed static per-shard edge
+        capacity (skips a sizing pass).
+        """
+        if isinstance(edge_files, (str, bytes)):
+            edge_files = [edge_files]
+        edge_files = list(edge_files)
+        w = mesh.shape[axis]
+        n = int(num_nodes)
+
+        def open_edges(k):
+            return np.load(edge_files[k], mmap_mode="r")
+
+        if book is None:
+            # pass 1: degree histogram (rows = dst, reversed CSR like
+            # SamplingGraph) -> edge-balanced cuts
+            deg = np.zeros(n + 1, np.int64)
+            for k in range(len(edge_files)):
+                dst = np.asarray(open_edges(k)[:, 1], np.int64)
+                np.add.at(deg, dst + 1, 1)
+            indptr_global = np.cumsum(deg)
+            book = PartitionBook.edge_balanced(indptr_global, w)
+
+        # pass 2: per-shard local CSR by stable bucketing.  Build each
+        # shard's degree counts first, then fill a second streaming pass
+        # (two passes over mmap'd files, O(shard) memory each).
+        starts = book.offsets[:-1]
+        shard_deg = [np.zeros(int(book.counts[r]) + 1, np.int64)
+                     for r in range(w)]
+        for k in range(len(edge_files)):
+            dst = np.asarray(open_edges(k)[:, 1], np.int64)
+            owner = book.owner_of_np(dst)
+            for r in range(w):
+                sel = dst[owner == r] - starts[r]
+                np.add.at(shard_deg[r], sel + 1, 1)
+        local_ip = [np.cumsum(d) for d in shard_deg]
+        counts_e = np.asarray([int(ip[-1]) for ip in local_ip], np.int64)
+        bases = np.concatenate([[0], np.cumsum(counts_e)[:-1]])
+        max_edges = int(counts_e.max(initial=1))
+        if edges_per_shard is not None:
+            max_edges = max(max_edges, int(edges_per_shard))
+        max_edges = max(-(-max_edges // _LINE) * _LINE, _LINE)
+
+        rps = book.shard_size
+        shard_ip = np.zeros((w, rps + 1), np.int32)
+        for r in range(w):
+            ip = local_ip[r]
+            shard_ip[r, : len(ip)] = ip
+            shard_ip[r, len(ip):] = ip[-1]
+        shard_ix = np.full((w, max_edges), -1, np.int32)
+        has_w = weights_files is not None
+        has_t = times_files is not None
+        shard_w = (np.zeros((w, max_edges),
+                            np.load(weights_files[0], mmap_mode="r").dtype)
+                   if has_w else None)
+        shard_t = (np.zeros((w, max_edges),
+                            np.load(times_files[0], mmap_mode="r").dtype)
+                   if has_t else None)
+        cursor = [ip[:-1].copy() for ip in local_ip]  # next free slot/row
+        max_deg = 0
+        for k in range(len(edge_files)):
+            e = open_edges(k)
+            src = np.asarray(e[:, 0], np.int64)
+            dst = np.asarray(e[:, 1], np.int64)
+            wv = np.asarray(np.load(weights_files[k], mmap_mode="r")) \
+                if has_w else None
+            tv = np.asarray(np.load(times_files[k], mmap_mode="r")) \
+                if has_t else None
+            owner = book.owner_of_np(dst)
+            for r in range(w):
+                sel = np.flatnonzero(owner == r)
+                if not len(sel):
+                    continue
+                rows = dst[sel] - starts[r]
+                # stable within-row fill: np.add.at-style cursor bump.
+                # groupby via argsort(stable) keeps file order per row.
+                order = np.argsort(rows, kind="stable")
+                rows_s = rows[order]
+                pos = cursor[r][rows_s]
+                # within-run offsets: occurrence index of each row
+                run_start = np.r_[0, np.flatnonzero(np.diff(rows_s)) + 1]
+                occ = np.arange(len(rows_s)) - np.repeat(
+                    run_start, np.diff(np.r_[run_start, len(rows_s)]))
+                slot = pos + occ
+                shard_ix[r, slot] = src[sel][order]
+                if has_w:
+                    shard_w[r, slot] = wv[sel][order]
+                if has_t:
+                    shard_t[r, slot] = tv[sel][order]
+                np.add.at(cursor[r], rows_s[run_start],
+                          np.diff(np.r_[run_start, len(rows_s)]))
+            del e
+        for r in range(w):
+            d = shard_deg[r][1:]
+            if len(d):
+                max_deg = max(max_deg, int(d.max(initial=0)))
+
+        def shard_edge_attr(attr, sh):
+            if attr is None:
+                return None
+            return put_global(attr.reshape(-1), sh)
+
+        return _assemble_dist_graph(
+            shard_ip, shard_ix, bases, int(counts_e.sum()), max_deg,
+            book, mesh, axis, weights=shard_w, times=shard_t,
+            shard_edge_attr=shard_edge_attr, edge_id_bits=edge_id_bits)
+
+
+def _assemble_dist_graph(shard_ip, shard_ix, bases, total_edges: int,
+                         max_deg: int, book: PartitionBook, mesh: Mesh,
+                         axis: str, *, weights, times, shard_edge_attr,
+                         edge_id_bits: Optional[int] = None):
+    """Shared tail of the DistGraph constructors: pick the edge-id
+    width, split int64 bases when needed, device-put the shards."""
+    from cugraph_gnn_tpu.ops.edge_ids import (
+        MAX_LOCAL_EDGES,
+        split_bases_np,
+    )
+    w = book.world_size
+    sh = NamedSharding(mesh, P(axis))
+    per_shard = shard_ix.shape[1]
+    if edge_id_bits is None:
+        edge_id_bits = 32 if total_edges < 2**31 - 1 else 64
+    if edge_id_bits == 32:
+        if total_edges >= 2**31 - 1:
+            raise ValueError(
+                f"{total_edges} edges do not fit 32-bit edge ids")
+        eb = put_global(bases.astype(np.int32), NamedSharding(mesh, P()))
+    else:
+        if per_shard >= MAX_LOCAL_EDGES:
+            raise ValueError(
+                f"a single shard holds {per_shard} edges >= 2**30 "
+                f"(a >=4GB indices buffer); use more shards "
+                f"(world={w}) so each stays under the local limit")
+        eb = put_global(split_bases_np(bases), NamedSharding(mesh, P()))
+    return DistGraph(
+        indptr=put_global(shard_ip.reshape(-1), sh),
+        indices=put_global(shard_ix.reshape(-1), sh),
+        edge_base=eb, book=book, mesh=mesh, axis=axis,
+        weights=shard_edge_attr(weights, sh),
+        times=shard_edge_attr(times, sh),
+        max_degree=max_deg, edge_id_bits=edge_id_bits)
 
 
 def _one_hop_shard(indptr, indices, edge_base, key, seeds, *, fanout: int,
                    book: PartitionBook, axis: str, weights=None, times=None,
-                   seed_time=None, max_degree: Optional[int] = None):
+                   seed_time=None, max_degree: Optional[int] = None,
+                   edge_id_bits: int = 32):
     """Per-shard body: route seeds (and their times) to owners, sample
     locally with the matching variant kernel, route back.
 
     indptr: (rows_per_shard+1,) local.  indices: (max_edges,) local,
     128-multiple length.  seeds: (B,) local query seeds (global ids,
     -1 pad).  seed_time: (B,) local per-seed times (temporal variants).
-    Returns (neighbors (B,k), edge_ids (B,k), num_sampled (B,)).
+    Returns (neighbors (B,k), edge_ids (B,k), edge_hi (B,k) | None,
+    num_sampled (B,)); edge_hi carries the high int32 plane of the
+    64-bit global edge ids when edge_id_bits == 64 (ops/edge_ids.py).
     """
     b = seeds.shape[0]
     world = book.world_size
@@ -157,10 +337,12 @@ def _one_hop_shard(indptr, indices, edge_base, key, seeds, *, fanout: int,
         req_time, _, _ = _ragged_a2a(
             seed_time[perm], offsets, counts, axis, world * b)
     # local sample on the owner (requests beyond recv total are stale:
-    # mask them as invalid seeds)
+    # mask them as invalid seeds).  Books keep int64 offsets on host;
+    # node counts fit int32, so cast explicitly (jnp.asarray of an
+    # int64 array would warn-and-truncate with x64 off).
     my_rank = jax.lax.axis_index(axis)
-    row_start = jnp.asarray(book.offsets[:-1])[my_rank]
-    my_count = jnp.asarray(book.counts)[my_rank]
+    row_start = jnp.asarray(book.offsets[:-1].astype(np.int32))[my_rank]
+    my_count = jnp.asarray(book.counts.astype(np.int32))[my_rank]
     local = req_ids - row_start
     pos = jnp.arange(world * b)
     ok = (pos < jnp.sum(recv_sizes)) & (req_ids >= 0) & (local >= 0) & (
@@ -188,17 +370,28 @@ def _one_hop_shard(indptr, indices, edge_base, key, seeds, *, fanout: int,
             indices2d=ind2d, max_degree=max_degree)
     okm = ok[:, None]
     neighbors = jnp.where(okm, out.neighbors, -1)
-    base = edge_base[my_rank].astype(jnp.int32)
-    edge_ids = jnp.where(okm & (out.edge_ids >= 0), out.edge_ids + base, -1)
+    local_eids = jnp.where(okm, out.edge_ids, -1)
+    if edge_id_bits == 64:
+        from cugraph_gnn_tpu.ops.edge_ids import combine_local
+        hi, edge_ids = combine_local(
+            local_eids, edge_base[my_rank, 0], edge_base[my_rank, 1])
+    else:
+        base = edge_base[my_rank].astype(jnp.int32)
+        hi = None
+        edge_ids = jnp.where(local_eids >= 0, local_eids + base, -1)
     # route the (k,)-blocks back to the requester
     back_n = alltoallv(neighbors, recv_offsets, recv_sizes, offsets, counts,
                        axis, b)
     back_e = alltoallv(edge_ids, recv_offsets, recv_sizes, offsets, counts,
                        axis, b)
+    back_h = None if hi is None else alltoallv(
+        hi, recv_offsets, recv_sizes, offsets, counts, axis, b)
     inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(b))
     back_n = back_n[inv]
     back_e = back_e[inv]
-    return back_n, back_e, jnp.sum(back_n >= 0, axis=1).astype(jnp.int32)
+    back_h = None if back_h is None else back_h[inv]
+    return (back_n, back_e, back_h,
+            jnp.sum(back_n >= 0, axis=1).astype(jnp.int32))
 
 
 class DistNeighborSampler:
@@ -258,11 +451,11 @@ class DistNeighborSampler:
                 targets = levels[-1]
                 t = targets.shape[0]
                 hkey = jax.random.fold_in(key, h)
-                nbrs, eids, _ = _one_hop_shard(
+                nbrs, eids, ehi, _ = _one_hop_shard(
                     indptr, indices, edge_base, hkey, targets,
                     fanout=fanout, book=g.book, axis=g.axis,
                     weights=weights, times=times, seed_time=seed_time,
-                    max_degree=g.max_degree)
+                    max_degree=g.max_degree, edge_id_bits=g.edge_id_bits)
                 if dedup:
                     uniq = append_unique(targets, nbrs.reshape(-1),
                                          max_unique=caps[h + 1])
@@ -274,7 +467,8 @@ class DistNeighborSampler:
                     neigh_local = jnp.where(nbrs >= 0, pos, -1)
                     next_level = jnp.concatenate([targets, nbrs.reshape(-1)])
                 hops.append(HopBlock(neigh_local=neigh_local,
-                                     neigh_global=nbrs, edge_ids=eids))
+                                     neigh_global=nbrs, edge_ids=eids,
+                                     edge_hi=ehi))
                 levels.append(next_level)
                 level_counts.append(gcount(next_level))
                 if seed_time is not None:
@@ -301,24 +495,36 @@ class DistNeighborSampler:
     def sample(self, key, seeds, node_times=None):
         """Standalone sampling: seeds (and optional per-seed times)
         sharded over the mesh axis; returns a MultihopBatch of sharded
-        arrays."""
+        arrays.  The shard_map step is jitted and memoized per batch
+        shape — eager shard_map re-dispatches the big graph operands on
+        every primitive (measured ~1000x slower steady-state)."""
         g = self.graph
-        fn = self.sample_shard_fn(seeds.shape[0] // g.book.world_size)
-        n_lvl = len(self.fanouts) + 1
-        opt = lambda x: P() if x is None else P(g.axis)
-        shard = jax.shard_map(
-            fn, mesh=g.mesh,
-            in_specs=(P(g.axis), P(g.axis), P(),
-                      opt(g.weights), opt(g.times), P(), P(g.axis),
-                      opt(node_times)),
-            out_specs=MultihopBatch(
-                levels=[P(g.axis)] * n_lvl,
-                level_counts=[P()] * n_lvl,
-                hops=[HopBlock(P(g.axis), P(g.axis), P(g.axis))
-                      for _ in self.fanouts],
-                seed_count=P(),
-                static_layout=not self.dedup,
-                num_shards=g.book.world_size),
-        )
-        return shard(g.indptr, g.indices, g.edge_base, g.weights, g.times,
-                     key, seeds, node_times)
+        cache_key = (int(seeds.shape[0]), node_times is not None)
+        jitted = getattr(self, "_jit_cache", None)
+        if jitted is None:
+            jitted = self._jit_cache = {}
+        if cache_key not in jitted:
+            fn = self.sample_shard_fn(
+                seeds.shape[0] // g.book.world_size)
+            n_lvl = len(self.fanouts) + 1
+            opt = lambda x: P() if x is None else P(g.axis)
+            hi_spec = None if g.edge_id_bits == 32 else P(g.axis)
+            shard = jax.shard_map(
+                fn, mesh=g.mesh,
+                in_specs=(P(g.axis), P(g.axis), P(),
+                          opt(g.weights), opt(g.times), P(), P(g.axis),
+                          P(g.axis) if node_times is not None else P()),
+                out_specs=MultihopBatch(
+                    levels=[P(g.axis)] * n_lvl,
+                    level_counts=[P()] * n_lvl,
+                    hops=[HopBlock(P(g.axis), P(g.axis), P(g.axis),
+                                   hi_spec)
+                          for _ in self.fanouts],
+                    seed_count=P(),
+                    static_layout=not self.dedup,
+                    num_shards=g.book.world_size),
+            )
+            jitted[cache_key] = jax.jit(shard)
+        return jitted[cache_key](
+            g.indptr, g.indices, g.edge_base, g.weights, g.times,
+            key, seeds, node_times)

@@ -55,17 +55,31 @@ class HeteroDistGraph:
                 for k, v in (weights_by_etype or {}).items() }
         tbe = { _etype_str(k): v
                 for k, v in (times_by_etype or {}).items() }
+        from cugraph_gnn_tpu.store.partition import PartitionBook
         graphs = {}
         ebase = {}
+        total_edges = 0
+        # one shared even row book across etypes: all etypes route seeds
+        # in the same global node-id space (per-etype edge-balanced
+        # books would disagree on ownership)
+        book = PartitionBook.even(graph.num_nodes_total,
+                                  mesh.shape[axis])
         for et in graph.etypes:
             ename = _etype_str(et)
             indptr, indices, edge_base = graph.csr_by_etype[et]
             n_edges = int(np.asarray(indptr)[-1])
+            total_edges = max(total_edges, int(edge_base) + n_edges)
             graphs[ename] = DistGraph.from_global_csr(
                 np.asarray(indptr), np.asarray(indices)[:n_edges], mesh,
                 axis=axis, weights=_trim(wbe.get(ename), n_edges),
-                times=_trim(tbe.get(ename), n_edges))
+                times=_trim(tbe.get(ename), n_edges), book=book)
             ebase[ename] = int(edge_base)
+        if total_edges >= 2**31 - 1:
+            raise NotImplementedError(
+                "heterogeneous distributed graphs beyond 2**31 total "
+                "edges: the per-etype edge-id bases overflow int32 — "
+                "64-bit hetero edge ids are not wired yet (the "
+                "homogeneous DistGraph path supports them)")
         return HeteroDistGraph(graphs, ebase, mesh, axis)
 
 
@@ -151,7 +165,7 @@ class HeteroDistNeighborSampler:
                     hkey = jax.random.fold_in(
                         jax.random.fold_in(key, h), ei)
                     st = seed_time if times is not None else None
-                    nbrs, eids, _ = _one_hop_shard(
+                    nbrs, eids, _ehi, _ = _one_hop_shard(
                         indptr, indices, edge_base, hkey, targets,
                         fanout=fan[h], book=dg.book, axis=axis,
                         weights=weights, times=times, seed_time=st,

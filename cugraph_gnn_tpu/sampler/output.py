@@ -23,7 +23,7 @@ num_sampled_nodes/num_sampled_edges) for API parity.
 
 from __future__ import annotations
 
-from typing import List, NamedTuple
+from typing import List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,10 +37,22 @@ class HopBlock(NamedTuple):
     neigh_local: jax.Array   # (S_l, k_l) int32 index into levels[l+1], -1 pad
     neigh_global: jax.Array  # (S_l, k_l) int32 global node ids, -1 pad
     edge_ids: jax.Array      # (S_l, k_l) int32 global edge ids, -1 pad
+    # High int32 plane of 64-bit global edge ids (graphs beyond 2**31
+    # edges; ops/edge_ids.py: id = edge_hi * 2**30 + edge_ids).  None on
+    # 32-bit graphs, where ``edge_ids`` is the full id.
+    edge_hi: Optional[jax.Array] = None
 
     @property
     def mask(self):
         return self.neigh_local >= 0
+
+    def edge_ids64(self) -> np.ndarray:
+        """Host-side int64 global edge ids (works for both widths)."""
+        if self.edge_hi is None:
+            return np.asarray(self.edge_ids).astype(np.int64)
+        from cugraph_gnn_tpu.ops.edge_ids import to_int64_np
+        return to_int64_np(np.asarray(self.edge_hi),
+                           np.asarray(self.edge_ids))
 
 
 class MultihopBatch(NamedTuple):
@@ -148,6 +160,15 @@ class COOSample(NamedTuple):
     edge: jax.Array            # (E,) global edge ids
     num_sampled_nodes: jax.Array  # (L+1,) nodes discovered per hop level
     num_sampled_edges: jax.Array  # (L,) valid edges per hop
+    # high int32 plane of 64-bit edge ids (None on 32-bit graphs)
+    edge_hi: Optional[jax.Array] = None
+
+    def edge_ids64(self) -> np.ndarray:
+        """Host-side int64 global edge ids (both widths)."""
+        if self.edge_hi is None:
+            return np.asarray(self.edge).astype(np.int64)
+        from cugraph_gnn_tpu.ops.edge_ids import to_int64_np
+        return to_int64_np(np.asarray(self.edge_hi), np.asarray(self.edge))
 
 
 class CSCSample(NamedTuple):
@@ -161,6 +182,8 @@ class CSCSample(NamedTuple):
     edge: List[jax.Array]          # per hop: (S_l * k_l,) global edge ids
     num_sampled_nodes: jax.Array
     num_sampled_edges: jax.Array
+    # per-hop high int32 planes of 64-bit edge ids (None on 32-bit)
+    edge_hi: Optional[List[jax.Array]] = None
 
 
 def to_csc(batch: MultihopBatch) -> CSCSample:
@@ -172,7 +195,7 @@ def to_csc(batch: MultihopBatch) -> CSCSample:
     decoder's (ref cugraph_pyg/sampler/sampler.py:525-640).  Slots past
     ``colptr[-1]`` are -1 padding.
     """
-    colptrs, rows, edges, n_edges = [], [], [], []
+    colptrs, rows, edges, his, n_edges = [], [], [], [], []
     for hop in batch.hops:
         s, k = hop.neigh_local.shape
         m = hop.mask
@@ -187,6 +210,9 @@ def to_csc(batch: MultihopBatch) -> CSCSample:
                               -1)[order])
         edges.append(jnp.where(flat_m, hop.edge_ids.reshape(-1),
                                -1)[order])
+        if hop.edge_hi is not None:
+            his.append(jnp.where(flat_m, hop.edge_hi.reshape(-1),
+                                 0)[order])
         colptrs.append(colptr)
         n_edges.append(jnp.sum(m).astype(jnp.int32))
     counts = [batch.level_counts[0]] + [
@@ -196,13 +222,14 @@ def to_csc(batch: MultihopBatch) -> CSCSample:
     return CSCSample(
         node=batch.levels[-1], colptr=colptrs, row=rows, edge=edges,
         num_sampled_nodes=jnp.stack(counts),
-        num_sampled_edges=jnp.stack(n_edges))
+        num_sampled_edges=jnp.stack(n_edges),
+        edge_hi=his if his else None)
 
 
 def to_coo(batch: MultihopBatch) -> COOSample:
     """Flatten a MultihopBatch into PyG-style COO with per-hop counts."""
     node = batch.levels[-1]
-    rows, cols, edges, n_edges = [], [], [], []
+    rows, cols, edges, his, n_edges = [], [], [], [], []
     for hop in batch.hops:
         s, k = hop.neigh_local.shape
         dst_local = jnp.broadcast_to(
@@ -211,6 +238,8 @@ def to_coo(batch: MultihopBatch) -> COOSample:
         rows.append(jnp.where(m, dst_local, -1).reshape(-1))
         cols.append(jnp.where(m, hop.neigh_local, -1).reshape(-1))
         edges.append(jnp.where(m, hop.edge_ids, -1).reshape(-1))
+        if hop.edge_hi is not None:
+            his.append(jnp.where(m, hop.edge_hi, 0).reshape(-1))
         n_edges.append(jnp.sum(m).astype(jnp.int32))
     counts = [batch.level_counts[0]] + [
         batch.level_counts[i + 1] - batch.level_counts[i]
@@ -223,4 +252,5 @@ def to_coo(batch: MultihopBatch) -> COOSample:
         edge=jnp.concatenate(edges),
         num_sampled_nodes=jnp.stack(counts),
         num_sampled_edges=jnp.stack(n_edges),
+        edge_hi=jnp.concatenate(his) if his else None,
     )

@@ -119,12 +119,23 @@ def _ragged_a2a(data, send_offsets, send_sizes, axis: str, out_len: int):
     return out, recv_sizes, recv_offsets
 
 
-def _dist_gather_shard(table, ids, *, book: PartitionBook, axis: str, fill):
+def _dist_gather_shard(table, ids, *, book: PartitionBook, axis: str, fill,
+                       recv_cap: Optional[int] = None):
     """Per-shard body of the distributed gather.
 
     table: (shard_size, F) local rows.  ids: (B,) global ids (may be -1).
     Returns (B, F) rows in original id order.
+
+    Memory model: the request buffer is the largest temporary.  With
+    ``recv_cap=None`` it is world*B ids (worst case: every peer asks this
+    shard for its whole batch) — fine at world<=8, O(world) per shard at
+    pod scale.  Setting ``recv_cap=C`` routes through the bounded
+    multi-round exchange (O(C) buffers; see _dist_gather_shard_bounded).
+    ``dist_gather_recv_cap`` picks the default policy.
     """
+    if recv_cap is not None:
+        return _dist_gather_shard_bounded(
+            table, ids, book=book, axis=axis, fill=fill, recv_cap=recv_cap)
     b = ids.shape[0]
     world = book.world_size
     shard_size = book.shard_size
@@ -135,12 +146,7 @@ def _dist_gather_shard(table, ids, *, book: PartitionBook, axis: str, fill):
         sorted_ids, offsets, counts, axis, world * b)
     # 2) local gather (negative/out-of-range -> fill row); positions not
     #    covered by recv_sizes hold garbage but are never shipped back.
-    my_rank = jax.lax.axis_index(axis)
-    my_count = jnp.asarray(np.asarray(book.counts))[my_rank]
-    local = book.local_offset(jnp.maximum(req_ids, 0))
-    ok = ((req_ids >= 0)
-          & (book.owner_of(jnp.maximum(req_ids, 0)) == my_rank)
-          & (local < my_count))
+    ok, local = _owned_local(req_ids, book, axis)
     rows = table[jnp.where(ok, local, 0)]
     rows = jnp.where(ok[:, None], rows, jnp.asarray(fill, rows.dtype))
     # 3) ship rows back: reverse geometry of step 1.
@@ -149,6 +155,97 @@ def _dist_gather_shard(table, ids, *, book: PartitionBook, axis: str, fill):
     # 4) restore original order (ref gather_op_impl_nccl.cu final scatter).
     inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(b))
     return back[inv]
+
+
+def _owned_local(req_ids, book: PartitionBook, axis: str):
+    """(is-mine mask, local offset) for requested global ids."""
+    my_rank = jax.lax.axis_index(axis)
+    my_count = jnp.asarray(
+        np.asarray(book.counts).astype(np.int32))[my_rank]
+    local = book.local_offset(jnp.maximum(req_ids, 0))
+    ok = ((req_ids >= 0)
+          & (book.owner_of(jnp.maximum(req_ids, 0)) == my_rank)
+          & (local < my_count))
+    return ok, local
+
+
+def dist_gather_recv_cap(batch: int, world: int,
+                         policy="auto") -> Optional[int]:
+    """Default receive-capacity policy for the distributed gather.
+
+    None (unbounded world*B buffer) at world <= 8 where it is both small
+    and collective-minimal; at larger worlds a bounded 2*B-ish capacity
+    (rounded so the per-sender quota C//world is >= 8) keeps the request
+    buffer O(B) — the multi-round exchange covers overflow.  'flat'
+    forces the legacy unbounded buffer; an int is taken verbatim.
+    """
+    if policy == "flat":
+        return None
+    if isinstance(policy, int):
+        return policy
+    if world <= 8:
+        return None
+    cap = max(2 * batch, 8 * world)
+    return -(-cap // world) * world  # multiple of world (exact quota)
+
+
+def _dist_gather_shard_bounded(table, ids, *, book: PartitionBook,
+                               axis: str, fill, recv_cap: int):
+    """Bounded-memory distributed gather: multi-round windowed exchange.
+
+    Every round, each sender ships at most ``quota = recv_cap // world``
+    ids to each owner, so no shard ever receives more than ``recv_cap``
+    ids per round — request buffers are O(recv_cap), independent of
+    world size (VERDICT r2 #6: at pod scale the flat world*B buffer is
+    a 1M-row id buffer per device per hop).  The number of rounds is
+    agreed collectively (pmax of the largest per-destination queue), so
+    the while_loop trip count — and therefore the collective schedule —
+    is identical on every shard: one round in the balanced common case,
+    more only under extreme owner skew.
+    """
+    b = ids.shape[0]
+    world = book.world_size
+    quota = max(recv_cap // world, 1)
+    cap = quota * world
+    sorted_ids, perm, counts, offsets = _bucket_by_owner(ids, book)
+    counts = counts.astype(jnp.int32)
+    offsets = offsets.astype(jnp.int32)
+    # rounds needed: ceil(max per-destination queue / quota), pmax'd so
+    # every shard loops the same number of times
+    local_max = jnp.max(counts)
+    rounds = jax.lax.pmax(-(-local_max // quota), axis).astype(jnp.int32)
+
+    feat = table.shape[1:]
+    # zero-add of a varying scalar keeps the carry's varying-manual-axes
+    # type identical to the body output under shard_map (XLA folds it)
+    out0 = jnp.zeros((b,) + feat, table.dtype) + (
+        sorted_ids[0] * 0).astype(table.dtype)
+
+    def body(state):
+        r, out = state
+        sent = jnp.minimum(counts, r * quota)
+        send_sizes = jnp.minimum(counts - sent, quota)
+        send_offsets = offsets + sent
+        req_ids, recv_sizes, recv_offsets = _ragged_a2a(
+            sorted_ids, send_offsets, send_sizes, axis, cap)
+        ok, local = _owned_local(req_ids, book, axis)
+        # stale positions past this round's receive total must not ship
+        pos = jnp.arange(cap)
+        ok = ok & (pos < jnp.sum(recv_sizes))
+        rows = table[jnp.where(ok, local, 0)]
+        rows = jnp.where(ok[:, None], rows, jnp.asarray(fill, rows.dtype))
+        back = alltoallv(rows, recv_offsets, recv_sizes,
+                         send_offsets, send_sizes, axis, b)
+        # rounds write disjoint windows of the sorted order; merge by add
+        # (unwritten positions are exact zeros from the output fill)
+        return r + 1, out + back
+
+    _, out = jax.lax.while_loop(
+        lambda s: s[0] < rounds, body, (jnp.int32(0), out0))
+    # ids that never produced a row (all -1 pads bucketed to the last
+    # owner still ship and come back as fill rows) — order restore:
+    inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(b))
+    return out[inv]
 
 
 def _dist_scatter_shard(table, ids, values, *, book: PartitionBook,
@@ -317,14 +414,21 @@ class DistArray:
             [a, jnp.zeros((rem,) + a.shape[1:], a.dtype)]) for a in arrays]
         return (b, ids) + tuple(out)
 
-    def gather(self, ids, fill=0):
+    def gather(self, ids, fill=0, recv_cap="auto"):
         """rows = self[ids] with cross-shard exchange.  ``ids`` is sharded
         over ``axis`` (each rank queries its slice); output sharding
         matches ids.
+
+        recv_cap: request-buffer policy — 'auto' (O(B) bounded
+        multi-round exchange beyond 8 shards, flat world*B below),
+        'flat', or an explicit int capacity (see dist_gather_recv_cap).
         """
         b, ids = self._pad_batch(ids)
+        cap = dist_gather_recv_cap(
+            ids.shape[0] // self.world, self.world, recv_cap)
         f = functools.partial(
-            _dist_gather_shard, book=self.book, axis=self.axis, fill=fill)
+            _dist_gather_shard, book=self.book, axis=self.axis, fill=fill,
+            recv_cap=cap)
         shard = jax.shard_map(
             f, mesh=self.mesh,
             in_specs=(P(self.axis), P(self.axis)),

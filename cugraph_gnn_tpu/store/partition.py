@@ -64,6 +64,31 @@ class PartitionBook:
         )
 
     @staticmethod
+    def edge_balanced(indptr, world_size: int) -> "PartitionBook":
+        """Row partition chosen so each shard holds ~equal EDGES (not
+        rows).  On skewed graphs the even-row split can give one shard
+        several times the mean edge count, and the sharded edge buffer
+        is sized by the max shard — this book keeps max/mean edge counts
+        near 1 (VERDICT r2: per-shard edge sizing).  Row boundaries are
+        the positions where the cumulative edge count crosses multiples
+        of E/W (each shard still owns a contiguous row range, so all
+        range-book machinery applies)."""
+        indptr = np.asarray(indptr, dtype=np.int64)
+        n = len(indptr) - 1
+        total_e = int(indptr[-1])
+        targets = (np.arange(1, world_size, dtype=np.int64) * total_e
+                   // world_size)
+        cuts = np.searchsorted(indptr, targets, side="left")
+        offsets = np.concatenate([[0], cuts, [n]]).astype(np.int64)
+        # guarantee monotonic non-decreasing (degenerate graphs can put
+        # several cuts at the same row)
+        offsets = np.maximum.accumulate(offsets)
+        counts = offsets[1:] - offsets[:-1]
+        return PartitionBook(
+            total=n, world_size=world_size, offsets=offsets,
+            shard_size=int(counts.max()) if world_size else 0)
+
+    @staticmethod
     def from_counts(counts: Sequence[int]) -> "PartitionBook":
         """Custom partition (ref wholememory.h:380-382 rank_entry_partition)."""
         counts = np.asarray(counts, dtype=np.int64)
