@@ -35,6 +35,9 @@ def edge_type_str(et: EdgeType) -> str:
 class _EdgeEntry:
     src: np.ndarray
     dst: np.ndarray
+    # True when src/dst are this PROCESS's shard of the edges, not the
+    # global COO (rank-local puts; ref graph_store.py:135-208 MG mode)
+    is_local: bool = False
 
 
 class GraphStore:
@@ -71,6 +74,44 @@ class GraphStore:
                                       int(dst.max(initial=-1)) + 1)
         self._edges[edge_type] = _EdgeEntry(src=src, dst=dst)
         self._graph = None  # invalidate
+
+    def put_local_edge_index(self, edge_index, edge_type: EdgeType,
+                             layout: str = "coo",
+                             num_nodes: Optional[Tuple[int, int]] = None):
+        """Rank-local COO shard: every process passes only ITS slice of
+        the edges (ref graph_store.py:135-208 — rank-local put with
+        allgathered sizes).  ``num_nodes`` must be the GLOBAL node
+        counts; when omitted they are agreed via an allgathered max of
+        the local id ranges.  The logical global edge list is the
+        rank-order concatenation of the local shards.
+
+        Consumed by DistNeighborLoader, which builds the row-sharded
+        DistGraph via the chunked device all-to-all
+        (store/edge_exchange.py) — no process ever materialises the
+        global COO.  ``finalize()`` (single-host CSR) refuses local
+        entries by construction.
+        """
+        if layout != "coo":
+            raise ValueError("only layout='coo' is supported (matches ref)")
+        src, dst = (np.asarray(edge_index[0]), np.asarray(edge_index[1]))
+        st, _, dt = edge_type
+        if num_nodes is None:
+            import jax
+            hi = np.asarray([int(src.max(initial=-1)) + 1,
+                             int(dst.max(initial=-1)) + 1], np.int64)
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+                hi = np.asarray(multihost_utils.process_allgather(
+                    hi.astype(np.float64))).max(axis=0).astype(np.int64)
+            num_nodes = (int(hi[0]), int(hi[1]))
+        self._num_nodes[st] = max(self._num_nodes.get(st, 0), num_nodes[0])
+        self._num_nodes[dt] = max(self._num_nodes.get(dt, 0), num_nodes[1])
+        self._edges[edge_type] = _EdgeEntry(src=src, dst=dst, is_local=True)
+        self._graph = None
+
+    @property
+    def has_local_edges(self) -> bool:
+        return any(e.is_local for e in self._edges.values())
 
     def get_edge_index(self, edge_type: EdgeType, layout: str = "coo"):
         e = self._edges[edge_type]
@@ -119,6 +160,12 @@ class GraphStore:
     def finalize(self) -> "SamplingGraph":
         """Build (or return cached) reversed-CSR sampling graph
         (ref graph_store.py:263-329 __construct_graph)."""
+        if self.has_local_edges:
+            raise ValueError(
+                "this store holds rank-LOCAL edge shards "
+                "(put_local_edge_index); a single-host SamplingGraph "
+                "would need the global COO — use DistNeighborLoader, "
+                "which routes shards with the distributed exchange")
         if self._graph is None:
             self._graph = SamplingGraph.build(self)
         return self._graph

@@ -73,11 +73,24 @@ class DistNeighborLoader:
                  max_unique_per_hop: Optional[Sequence[int]] = None,
                  axis: str = STORE_AXIS):
         feature_store, graph_store = data
-        graph = graph_store.finalize()
+        self._local_mode = graph_store.has_local_edges
+        if self._local_mode:
+            # rank-local edge shards: no single-host SamplingGraph
+            # exists or is needed (VERDICT r2 #2)
+            graph = None
+            if (len(graph_store.edge_types) != 1
+                    or len(graph_store.node_types) > 1):
+                raise NotImplementedError(
+                    "rank-local heterogeneous construction: put global "
+                    "COO per etype, or build per-etype DistGraphs via "
+                    "DistGraph.from_local_coo directly")
+            self.hetero = False
+        else:
+            graph = graph_store.finalize()
+            self.hetero = not graph.is_homogeneous
         self.mesh = mesh
         self.axis = axis
         self.graph_store = graph_store
-        self.hetero = not graph.is_homogeneous
         world = mesh.shape[axis]
         if max_unique_per_hop == "auto":
             from cugraph_gnn_tpu.sampler.heuristics import (
@@ -139,6 +152,22 @@ class DistNeighborLoader:
                 for nt in graph_store.node_types}
             self.labels = None  # resolved against input_type below
             self._y_attr = y_attr
+        elif self._local_mode:
+            if weight_attr is not None or time_attr is not None:
+                raise NotImplementedError(
+                    "edge attributes with rank-local construction: pass "
+                    "weights/times to DistGraph.from_local_coo directly "
+                    "(they ride the same routing as the edges)")
+            et = graph_store.edge_types[0]
+            src_l, dst_l = graph_store.get_edge_index(et)
+            self.dist_graph = DistGraph.from_local_coo(
+                src_l, dst_l, int(graph_store.num_nodes()), mesh,
+                axis=axis)
+            self.sampler = DistNeighborSampler(
+                self.dist_graph, num_neighbors, dedup=dedup,
+                max_unique_per_hop=max_unique_per_hop)
+            self.features = dist_of("", x_attr)
+            self.labels = dist_of("", y_attr)
         else:
             indptr, indices = graph.homogeneous_csr()
             et = graph.etypes[0]

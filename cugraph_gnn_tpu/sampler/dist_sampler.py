@@ -275,6 +275,134 @@ class DistGraph(NamedTuple):
             shard_edge_attr=shard_edge_attr, edge_id_bits=edge_id_bits)
 
 
+    @staticmethod
+    def from_local_coo(src, dst, num_nodes: int, mesh: Mesh,
+                       axis: str = STORE_AXIS, weights=None, times=None,
+                       book: Optional[PartitionBook] = None,
+                       chunk: int = 1 << 18,
+                       edge_id_bits: Optional[int] = None) -> "DistGraph":
+        """Build the row-sharded graph from RANK-LOCAL COO shards:
+        every process passes only its own (different) edge slice; no
+        process ever materialises the global COO (ref
+        graph_store.py:135-208 rank-local put + allgathered sizes).
+
+        The logical global COO is the per-shard concatenation in shard
+        order (single-process: just the given arrays) — sampled batches
+        match ``from_global_csr`` of that COO's CSR bit-exactly.  Edges
+        are routed to their dst-owner shards with the chunked device
+        all-to-all in store/edge_exchange.py; each process then builds
+        only its shards' CSRs.
+        """
+        from jax.experimental import multihost_utils
+
+        from cugraph_gnn_tpu.store.edge_exchange import route_local_edges
+
+        vals = {}
+        if weights is not None:
+            vals["w"] = np.asarray(weights)
+        if times is not None:
+            vals["t"] = np.asarray(times)
+        book, shards = route_local_edges(
+            src, dst, num_nodes, mesh, axis, vals=vals or None,
+            book=book, chunk=chunk)
+        w = book.world_size
+        nproc = max(jax.process_count(), 1)
+        rps = book.shard_size
+        starts = book.offsets[:-1]
+
+        # per-addressable-shard CSR (stable counting sort keeps the
+        # within-row global-COO order)
+        local = {}
+        my_max_deg = 0
+        for r, ed in shards.items():
+            rows = ed["dst"] - starts[r]
+            nrows = int(book.counts[r])
+            order = np.argsort(rows, kind="stable")
+            cnt = np.bincount(rows, minlength=nrows)
+            ip = np.zeros(rps + 1, np.int32)
+            ip[1: nrows + 1] = np.cumsum(cnt)
+            ip[nrows + 1:] = ip[nrows]
+            entry = {"indptr": ip,
+                     "indices": ed["src"][order].astype(np.int32)}
+            for nm in ("w", "t"):
+                if nm in ed:
+                    entry[nm] = ed[nm][order]
+            local[r] = entry
+            if nrows:
+                my_max_deg = max(my_max_deg, int(cnt.max(initial=0)))
+
+        # allgather per-shard edge counts (for bases + buffer sizing)
+        # and the degree bound — small metadata exchange, like the
+        # reference's allgathered sizes
+        my_counts = np.zeros(w, np.int64)
+        for r, ed in shards.items():
+            my_counts[r] = len(ed["dst"])
+        if nproc > 1:
+            gathered = np.asarray(multihost_utils.process_allgather(
+                np.concatenate([my_counts,
+                                [my_max_deg]]).astype(np.float64)))
+            counts_e = gathered[:, :w].sum(axis=0).astype(np.int64)
+            max_deg = int(gathered[:, w].max())
+        else:
+            counts_e = my_counts
+            max_deg = my_max_deg
+        bases = np.concatenate([[0], np.cumsum(counts_e)[:-1]])
+        max_edges = max(int(counts_e.max(initial=1)), 1)
+        max_edges = -(-max_edges // _LINE) * _LINE
+
+        sh = NamedSharding(mesh, P(axis))
+
+        def filler(key_name, dtype, fill_value):
+            def fill(index):
+                r = (index[0].start or 0) // max_edges
+                out = np.full((max_edges,), fill_value, dtype)
+                v = local[r].get(key_name)
+                if v is not None and len(v):
+                    out[: len(v)] = v
+                return out
+            return fill
+
+        def fill_ip(index):
+            r = (index[0].start or 0) // (rps + 1)
+            return local[r]["indptr"]
+
+        indptr_arr = jax.make_array_from_callback(
+            (w * (rps + 1),), sh, fill_ip)
+        indices_arr = jax.make_array_from_callback(
+            (w * max_edges,), sh, filler("indices", np.int32, -1))
+        w_arr = t_arr = None
+        if weights is not None:
+            w_arr = jax.make_array_from_callback(
+                (w * max_edges,), sh,
+                filler("w", np.asarray(weights).dtype, 0))
+        if times is not None:
+            t_arr = jax.make_array_from_callback(
+                (w * max_edges,), sh,
+                filler("t", np.asarray(times).dtype, 0))
+
+        total_edges = int(counts_e.sum())
+        if edge_id_bits is None:
+            edge_id_bits = 32 if total_edges < 2**31 - 1 else 64
+        if edge_id_bits == 32:
+            eb = put_global(bases.astype(np.int32),
+                            NamedSharding(mesh, P()))
+        else:
+            from cugraph_gnn_tpu.ops.edge_ids import (
+                MAX_LOCAL_EDGES,
+                split_bases_np,
+            )
+            if max_edges >= MAX_LOCAL_EDGES:
+                raise ValueError(
+                    f"a single shard holds {max_edges} edges >= 2**30; "
+                    "use more shards")
+            eb = put_global(split_bases_np(bases),
+                            NamedSharding(mesh, P()))
+        return DistGraph(
+            indptr=indptr_arr, indices=indices_arr, edge_base=eb,
+            book=book, mesh=mesh, axis=axis, weights=w_arr, times=t_arr,
+            max_degree=max_deg, edge_id_bits=edge_id_bits)
+
+
 def _assemble_dist_graph(shard_ip, shard_ix, bases, total_edges: int,
                          max_deg: int, book: PartitionBook, mesh: Mesh,
                          axis: str, *, weights, times, shard_edge_attr,

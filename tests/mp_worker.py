@@ -156,6 +156,37 @@ def main():
             ref[:n_rows] = want_att[lo:lo + n_rows]
         np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
+    # 5) rank-local graph construction (VERDICT r2 #2): each process
+    #    passes ONLY its own edge slice; sampled batches must match the
+    #    global-CSR build of the concatenated COO bit-exactly
+    e2 = 1200
+    src_all = rng.integers(0, n, e2)
+    dst_all = rng.integers(0, n, e2)
+    halves = np.array_split(np.arange(e2), nproc)
+    mine = halves[jax.process_index()]
+    g_local = DistGraph.from_local_coo(
+        src_all[mine], dst_all[mine], n, mesh, chunk=256)
+    from cugraph_gnn_tpu.native import build_csr
+    ip2, ix2, _perm2 = build_csr(dst_all.astype(np.int64),
+                                 src_all.astype(np.int64), n)
+    g_ref = DistGraph.from_global_csr(np.asarray(ip2), np.asarray(ix2),
+                                      mesh)
+    assert np.array_equal(g_local.book.offsets, g_ref.book.offsets)
+    sA = DistNeighborSampler(g_local, [4, 4])
+    sB = DistNeighborSampler(g_ref, [4, 4])
+    seeds2 = put_global((np.arange(world * 4, dtype=np.int32) * 3) % n,
+                        NamedSharding(mesh, P("store")))
+    bA = sA.sample(jax.random.PRNGKey(2), seeds2)
+    bB = sB.sample(jax.random.PRNGKey(2), seeds2)
+    for h in range(2):
+        for fld in ("neigh_global", "edge_ids", "neigh_local"):
+            a = getattr(bA.hops[h], fld)
+            bb = getattr(bB.hops[h], fld)
+            for shA, shB in zip(a.addressable_shards,
+                                bb.addressable_shards):
+                assert np.array_equal(np.asarray(shA.data),
+                                      np.asarray(shB.data)), (h, fld)
+
     print("MP_OK", flush=True)
 
 

@@ -343,3 +343,46 @@ print("OK32")
                            os.path.abspath(__file__))))
     assert r.returncode == 0, r.stderr[-2000:]
     assert "OK32" in r.stdout
+
+
+def test_graph_store_local_edges_loader(cpu_mesh):
+    """put_local_edge_index -> DistNeighborLoader builds the graph via
+    the distributed exchange; batches match the global-COO loader
+    bit-exactly (single process: the local shard IS the global COO)."""
+    from cugraph_gnn_tpu.data import FeatureStore, GraphStore
+    from cugraph_gnn_tpu.loader.dist_loader import DistNeighborLoader
+
+    rng = np.random.default_rng(0)
+    n, e, f = 600, 5000, 16
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    x = rng.standard_normal((n, f)).astype(np.float32)
+    y = rng.integers(0, 4, n).astype(np.int32)
+
+    def mk(local):
+        gs = GraphStore()
+        if local:
+            gs.put_local_edge_index((src, dst), ("N", "e", "N"),
+                                    num_nodes=(n, n))
+        else:
+            gs.put_edge_index((src, dst), ("N", "e", "N"),
+                              num_nodes=(n, n))
+        fs = FeatureStore()
+        fs[("", "x")] = x
+        fs[("", "y")] = y
+        return DistNeighborLoader((fs, gs), [4, 4], cpu_mesh,
+                                  batch_size=64, seed=3)
+
+    for bA, bB in zip(mk(False), mk(True)):
+        assert np.array_equal(np.asarray(bA.seeds), np.asarray(bB.seeds))
+        for h in range(2):
+            assert np.array_equal(
+                np.asarray(bA.sample.hops[h].edge_ids),
+                np.asarray(bB.sample.hops[h].edge_ids))
+        assert np.allclose(np.asarray(bA.x), np.asarray(bB.x))
+
+    # finalize() on a local store must refuse loudly
+    gs = GraphStore()
+    gs.put_local_edge_index((src, dst), ("N", "e", "N"), num_nodes=(n, n))
+    with pytest.raises(ValueError, match="rank-LOCAL"):
+        gs.finalize()
