@@ -44,6 +44,7 @@ from cugraph_gnn_tpu.sampler.output import HopBlock, MultihopBatch
 from cugraph_gnn_tpu.store.dist_array import (
     DistArray,
     _dist_gather_shard,
+    mesh_axis_size,
     put_global,
 )
 
@@ -91,7 +92,7 @@ class DistNeighborLoader:
         self.mesh = mesh
         self.axis = axis
         self.graph_store = graph_store
-        world = mesh.shape[axis]
+        world = mesh_axis_size(mesh, axis)
         if max_unique_per_hop == "auto":
             from cugraph_gnn_tpu.sampler.heuristics import (
                 resolve_feature_dim,
@@ -269,7 +270,7 @@ class DistNeighborLoader:
         batch_specs = HeteroMultihopBatch(
             levels=[P(axis)] * n_lvl, level_counts=[P()] * n_lvl,
             hops=hop_specs, seed_count=P(),
-            num_shards=self.mesh.shape[axis])
+            num_shards=mesh_axis_size(self.mesh, axis))
         x_specs = (P() if feats is None
                    else {nt: P(axis) for nt in feats})
         # node_times spec is UNCONDITIONALLY sharded: the link loader
@@ -295,19 +296,41 @@ class DistNeighborLoader:
         labels = self.labels
         n_lvl = len(self.sampler.fanouts) + 1
 
+        # Hierarchical (node x device) meshes route feature/label rows
+        # through the two-phase dedup-before-DCN gather — ids dedup on
+        # ICI before any row crosses DCN (ref gather_op_impl_hierarchy.cu
+        # auto-selection, tensor/utils.py:173-193).  Seed routing stays
+        # one flat exchange over the combined axes: seed ids are 4 bytes
+        # vs 100s-of-bytes feature rows, so rows are where DCN volume is.
+        hier = isinstance(axis, (tuple, list)) and len(axis) == 2
+        if hier:
+            from cugraph_gnn_tpu.store.hierarchical import (
+                _hier_gather_shard,
+            )
+            node_ax, dev_ax = axis
+            world_dev = self.mesh.shape[dev_ax]
+
+        def _feat_gather(data, ids, book, fill):
+            if hier:
+                rows, _dcn = _hier_gather_shard(
+                    data, ids, book=book, node_axis=node_ax,
+                    dev_axis=dev_ax, world_dev=world_dev, fill=fill)
+                return rows
+            return _dist_gather_shard(data, ids, book=book, axis=axis,
+                                      fill=fill)
+
         def body(indptr, indices, edge_base, weights, times, feat_data,
                  label_data, key, seeds, node_times):
             batch = sample_fn(indptr, indices, edge_base, weights, times,
                               key, seeds, node_times)
             x = None
             if feat_data is not None:
-                x = _dist_gather_shard(feat_data, batch.input_nodes,
-                                       book=feat.book, axis=axis, fill=0)
+                x = _feat_gather(feat_data, batch.input_nodes,
+                                 feat.book, 0)
             y = None
             if label_data is not None:
-                y = _dist_gather_shard(label_data, batch.levels[0],
-                                       book=labels.book, axis=axis,
-                                       fill=-1)[:, 0]
+                y = _feat_gather(label_data, batch.levels[0],
+                                 labels.book, -1)[:, 0]
             return batch, x, y
 
         opt = lambda v: P() if v is None else P(axis)
@@ -318,7 +341,7 @@ class DistNeighborLoader:
                   for _ in self.sampler.fanouts],
             seed_count=P(),
             static_layout=not self.sampler.dedup,
-            num_shards=self.mesh.shape[axis])
+            num_shards=mesh_axis_size(self.mesh, axis))
         # node_times spec unconditionally sharded (see hetero builder)
         shard = jax.shard_map(
             body, mesh=self.mesh,
@@ -469,7 +492,7 @@ class DistLinkNeighborLoader:
                 self.pos_src, self.pos_dst, self.num_dst)
         self.num_neg = (0 if self.neg is None
                         else int(self.batch_size * self.neg.amount))
-        world = mesh.shape[axis]
+        world = mesh_axis_size(mesh, axis)
         total = 2 * (self.batch_size + self.num_neg)
         self.seed_count = -(-total // world) * world
         # all sampling/gather machinery comes from the node loader; the

@@ -44,6 +44,7 @@ from cugraph_gnn_tpu.store.dist_array import (
     _bucket_by_owner,
     _ragged_a2a,
     alltoallv,
+    mesh_axis_size,
     put_global,
 )
 from cugraph_gnn_tpu.store.partition import PartitionBook
@@ -102,7 +103,7 @@ class DistGraph(NamedTuple):
         indptr = np.asarray(indptr)
         indices = np.asarray(indices)
         n = len(indptr) - 1
-        w = mesh.shape[axis]
+        w = mesh_axis_size(mesh, axis)
         if book is None:
             book = PartitionBook.edge_balanced(indptr, w)
         rps = book.shard_size
@@ -174,7 +175,7 @@ class DistGraph(NamedTuple):
         if isinstance(edge_files, (str, bytes)):
             edge_files = [edge_files]
         edge_files = list(edge_files)
-        w = mesh.shape[axis]
+        w = mesh_axis_size(mesh, axis)
         n = int(num_nodes)
 
         def open_edges(k):

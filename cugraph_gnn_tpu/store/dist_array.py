@@ -30,6 +30,18 @@ from cugraph_gnn_tpu.parallel.mesh import STORE_AXIS
 from cugraph_gnn_tpu.store.partition import PartitionBook
 
 
+def mesh_axis_size(mesh: Mesh, axis) -> int:
+    """Size of a mesh axis, or the product for a tuple of axes (the
+    flattened (node, device) hierarchy rides collectives over the axis
+    tuple — supported by jax axis_index/psum/all_to_all)."""
+    if isinstance(axis, (tuple, list)):
+        out = 1
+        for a in axis:
+            out *= mesh.shape[a]
+        return out
+    return mesh.shape[axis]
+
+
 def put_global(host_array, sharding) -> jax.Array:
     """device_put that also works in multi-process (multi-host) runs:
     each process materialises only its addressable shards from the
@@ -305,7 +317,7 @@ class DistArray:
     def create(shape, dtype, mesh: Mesh, axis: str = STORE_AXIS,
                book: Optional[PartitionBook] = None) -> "DistArray":
         total, *feat = shape
-        world = mesh.shape[axis]
+        world = mesh_axis_size(mesh, axis)
         book = book or PartitionBook.even(total, world)
         padded = (book.padded_total, *feat)
         sharding = NamedSharding(mesh, P(axis))
@@ -331,7 +343,7 @@ class DistArray:
             raise ValueError(
                 f"unsupported file type {path!r} (expect .npy or .pt)")
         total = host.shape[0]
-        world = mesh.shape[axis]
+        world = mesh_axis_size(mesh, axis)
         book = book or PartitionBook.even(total, world)
         feat = host.shape[1:]
         out_dtype = np.dtype(dtype) if dtype is not None else host.dtype
@@ -365,7 +377,7 @@ class DistArray:
         if dtype is not None:
             host_array = host_array.astype(dtype)
         total = host_array.shape[0]
-        world = mesh.shape[axis]
+        world = mesh_axis_size(mesh, axis)
         book = book or PartitionBook.even(total, world)
         # Padded layout: row id -> owner*shard_size + local_offset
         # (contiguous ranges for range books, interleaved for
@@ -391,7 +403,7 @@ class DistArray:
 
     @property
     def world(self) -> int:
-        return self.mesh.shape[self.axis]
+        return mesh_axis_size(self.mesh, self.axis)
 
     def local_shard(self, rank: int):
         """Logical rows owned by ``rank`` (unpadded)."""

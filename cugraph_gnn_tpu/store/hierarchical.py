@@ -102,8 +102,13 @@ def _hier_gather_shard(table, ids, *, book: PartitionBook, node_axis: str,
 
     # Local gather at the owner (rank = node * d + my column).
     my_rank = my_node * d + jax.lax.axis_index(dev_axis)
-    row_start = jnp.take(jnp.asarray(np.asarray(book.offsets[:-1])), my_rank)
-    my_count = jnp.take(jnp.asarray(np.asarray(book.counts)), my_rank)
+    # node counts fit int32; explicit cast avoids the silent int64
+    # truncation warning with x64 off
+    row_start = jnp.take(
+        jnp.asarray(np.asarray(book.offsets[:-1]).astype(np.int32)),
+        my_rank)
+    my_count = jnp.take(
+        jnp.asarray(np.asarray(book.counts).astype(np.int32)), my_rank)
     local = recvB - row_start
     ok = (recvB >= 0) & (local >= 0) & (local < my_count)
     rows = table[jnp.where(ok, local, 0)]

@@ -386,3 +386,101 @@ def test_graph_store_local_edges_loader(cpu_mesh):
     gs.put_local_edge_index((src, dst), ("N", "e", "N"), num_nodes=(n, n))
     with pytest.raises(ValueError, match="rank-LOCAL"):
         gs.finalize()
+
+
+# ---------------------------------------------------------------------------
+# hierarchical product path (VERDICT #4)
+# ---------------------------------------------------------------------------
+
+
+def test_hierarchical_loader_matches_flat():
+    """DistNeighborLoader on a (2, 4) node x device mesh: same batches
+    as the flat 8-device loader bit-exactly (the two-phase gather and
+    the tuple-axis seed routing change the wire pattern, not the
+    results)."""
+    from cugraph_gnn_tpu.data import FeatureStore, GraphStore
+    from cugraph_gnn_tpu.loader.dist_loader import DistNeighborLoader
+    from cugraph_gnn_tpu.parallel.mesh import (
+        create_hierarchical_mesh,
+        create_store_mesh,
+    )
+
+    rng = np.random.default_rng(0)
+    n, e, f = 600, 5000, 16
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    x = rng.standard_normal((n, f)).astype(np.float32)
+    y = rng.integers(0, 4, n).astype(np.int32)
+
+    def mk(mesh, axis):
+        gs = GraphStore()
+        gs.put_edge_index((src, dst), ("N", "e", "N"), num_nodes=(n, n))
+        fs = FeatureStore()
+        fs[("", "x")] = x
+        fs[("", "y")] = y
+        return DistNeighborLoader((fs, gs), [4, 4], mesh, batch_size=64,
+                                  seed=3, axis=axis, dedup=True)
+
+    flat = mk(create_store_mesh(8), "store")
+    hier = mk(create_hierarchical_mesh(2), ("node", "device"))
+    n_batches = 0
+    for bA, bB in zip(flat, hier):
+        n_batches += 1
+        assert np.array_equal(np.asarray(bA.seeds), np.asarray(bB.seeds))
+        for h in range(2):
+            assert np.array_equal(
+                np.asarray(bA.sample.hops[h].edge_ids),
+                np.asarray(bB.sample.hops[h].edge_ids)), h
+        assert np.allclose(np.asarray(bA.x), np.asarray(bB.x))
+        assert np.array_equal(np.asarray(bA.y), np.asarray(bB.y))
+    assert n_batches == len(flat)
+
+
+def test_hierarchical_loader_dcn_volume_bounded():
+    """The loader's input-node feature gather dedups ids before DCN:
+    the per-device cross-node id volume is <= what the flat exchange
+    would ship (every duplicated request crosses once)."""
+    from cugraph_gnn_tpu.data import FeatureStore, GraphStore
+    from cugraph_gnn_tpu.loader.dist_loader import DistNeighborLoader
+    from cugraph_gnn_tpu.parallel.mesh import create_hierarchical_mesh
+    from cugraph_gnn_tpu.store.hierarchical import HierarchicalDistArray
+
+    rng = np.random.default_rng(1)
+    n, e, f = 400, 6000, 8
+    # hub-heavy graph => heavily duplicated frontiers
+    src = (rng.integers(0, 20, e) * rng.integers(1, 3, e)) % n
+    dst = rng.integers(0, n, e)
+    x = rng.standard_normal((n, f)).astype(np.float32)
+
+    mesh = create_hierarchical_mesh(2)
+    gs = GraphStore()
+    gs.put_edge_index((src, dst), ("N", "e", "N"), num_nodes=(n, n))
+    fs = FeatureStore()
+    fs[("", "x")] = x
+    loader = DistNeighborLoader((fs, gs), [8, 8], mesh, batch_size=64,
+                                axis=("node", "device"))
+    batch = next(iter(loader))
+    input_nodes = np.asarray(batch.sample.input_nodes)
+
+    harr = HierarchicalDistArray.from_array(x, mesh)
+    ids = jnp.asarray(input_nodes, jnp.int32)
+    rows, dcn = harr.gather_with_stats(ids)
+    dcn = np.asarray(dcn)
+
+    # flat exchange would ship every (device, remote id) request:
+    world, d = 8, 4
+    per_dev = np.asarray(ids).reshape(world, -1)
+    book = harr.book
+    flat_volume = np.zeros(world, np.int64)
+    for r in range(world):
+        mine = per_dev[r]
+        mine = mine[mine >= 0]
+        owner = book.owner_of_np(mine)
+        flat_volume[r] = int(np.sum((owner // d) != (r // d)))
+    assert np.all(dcn <= flat_volume)
+    assert dcn.sum() < flat_volume.sum()  # dedup actually saves volume
+    # and the rows themselves are right
+    got = np.asarray(rows)
+    want = np.where((np.asarray(ids) >= 0)[:, None],
+                    x[np.maximum(np.asarray(ids), 0)], 0)
+    assert np.allclose(got, want)
