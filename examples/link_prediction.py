@@ -85,6 +85,27 @@ def main():
         if epoch % 5 == 0 or epoch == args.epochs - 1:
             log.info("epoch %d: loss %.4f", epoch, tot / nb)
 
+    # rank-based AUC over one evaluation pass (positives vs sampled
+    # negatives) — the example-level quality gate
+    scores, labels = [], []
+    for b in loader:
+        emb = model.apply(params, b.x, b.sample)
+        eli = np.asarray(b.edge_label_index)
+        s = np.asarray(jnp.sum(emb[eli[0]] * emb[eli[1]], axis=-1))
+        seeds = np.asarray(b.seeds)
+        valid = (seeds[eli[0]] >= 0) & (seeds[eli[1]] >= 0)
+        scores.append(s[valid])
+        labels.append(np.asarray(b.edge_label)[valid])
+    s = np.concatenate(scores)
+    lab = np.concatenate(labels)
+    order = np.argsort(s)
+    rank = np.empty_like(order, dtype=np.float64)
+    rank[order] = np.arange(1, len(s) + 1)
+    n_pos, n_neg = int(lab.sum()), int((1 - lab).sum())
+    auc = ((rank[lab > 0.5].sum() - n_pos * (n_pos + 1) / 2)
+           / max(n_pos * n_neg, 1))
+    print(f"link-pred AUC: {auc:.4f}", flush=True)
+
 
 if __name__ == "__main__":
     main()

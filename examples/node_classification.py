@@ -123,6 +123,8 @@ def main():
         correct += int(c)
         total += int(v)
     log.info("train accuracy: %.4f", correct / total)
+    # machine-parseable line for the example quality gates
+    print(f"train accuracy: {correct / total:.4f}", flush=True)
 
 
 if __name__ == "__main__":

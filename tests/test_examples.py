@@ -30,15 +30,27 @@ def run_example(script, args, timeout=240):
 
 
 def test_node_classification_example():
-    run_example("node_classification.py",
-                ["--dataset", "karate", "--epochs", "2",
-                 "--batch-size", "16", "--neighbors", "4,4"])
+    # quality gate (VERDICT r2 #9): karate must actually train, not
+    # just exit 0 — a majority-class regression scores ~0.5
+    r = run_example("node_classification.py",
+                    ["--dataset", "karate", "--epochs", "25",
+                     "--batch-size", "34", "--neighbors", "10,10"])
+    import re
+    m = re.search(r"train accuracy: ([0-9.]+)", r.stdout)
+    assert m, r.stdout[-1500:]
+    assert float(m.group(1)) >= 0.9, r.stdout[-1500:]
 
 
 def test_link_prediction_example():
-    run_example("link_prediction.py",
-                ["--epochs", "2", "--batch-size", "16",
-                 "--neighbors", "3,3"])
+    # quality gate: AUC of positives vs sampled negatives must clear
+    # chance by a wide margin
+    r = run_example("link_prediction.py",
+                    ["--epochs", "12", "--batch-size", "32",
+                     "--neighbors", "5,5"], timeout=360)
+    import re
+    m = re.search(r"link-pred AUC: ([0-9.]+)", r.stdout)
+    assert m, r.stdout[-1500:]
+    assert float(m.group(1)) >= 0.75, r.stdout[-1500:]
 
 
 def test_rgcn_hetero_example():
@@ -122,8 +134,16 @@ def test_xgb_downstream_example():
 
 
 def test_fraud_detection_example():
+    pytest.importorskip("sklearn")
+    # quality gate: the GNN embeddings must LIFT the forest's AUC on
+    # the planted-neighborhood fraud signal (not merely run)
     r = run_example("fraud_detection.py",
-                    ["--num-nodes", "800", "--epochs", "2",
-                     "--batch-size", "64", "--neighbors", "4,4",
-                     "--hidden-dim", "32"])
+                    ["--num-nodes", "800", "--epochs", "4",
+                     "--batch-size", "64", "--neighbors", "8,8",
+                     "--hidden-dim", "32"], timeout=360)
     assert "RF with GNN" in r.stdout and "gnn-embedding lift" in r.stdout
+    import re
+    m = re.search(r"gnn-embedding lift: acc ([+-][0-9.]+) "
+                  r"auc ([+-][0-9.]+)", r.stdout)
+    assert m, r.stdout[-1500:]
+    assert float(m.group(2)) > 0.0, r.stdout[-1500:]
