@@ -225,7 +225,8 @@ class LinkNeighborLoader(LinkLoader):
     def __init__(self, data: Tuple[FeatureStore, GraphStore],
                  num_neighbors, edge_label_index, edge_label=None,
                  neg_sampling=None, batch_size: int = 512,
-                 weight_attr=None, time_attr=None, **kwargs):
+                 weight_attr=None, time_attr=None, disjoint: bool = False,
+                 **kwargs):
         feature_store, graph_store = data
         if time_attr is not None and kwargs.get("edge_label_time") is None:
             raise ValueError(
@@ -239,7 +240,8 @@ class LinkNeighborLoader(LinkLoader):
                 "sampling would silently run uniform")
         sampler = build_neighbor_sampler(
             feature_store, graph_store, num_neighbors,
-            weight_attr=weight_attr, time_attr=time_attr)
+            weight_attr=weight_attr, time_attr=time_attr,
+            disjoint=disjoint)
         if isinstance(neg_sampling, str):
             neg_sampling = NegativeSampling(mode=neg_sampling)
         elif isinstance(neg_sampling, dict):

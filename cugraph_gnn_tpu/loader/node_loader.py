@@ -221,11 +221,6 @@ def build_neighbor_sampler(feature_store, graph_store, num_neighbors,
     (uniform/biased/temporal, optionally disjoint) or the hetero
     per-edge-type sampler (ref neighbor_loader.py:162-201)."""
     graph = graph_store.finalize()
-    if disjoint and not graph.is_homogeneous:
-        raise NotImplementedError(
-            "disjoint hetero sampling is not wired through the loader; "
-            "wrap HeteroNeighborSampler in DisjointNeighborSampler "
-            "directly (sampler-level support exists)")
     if graph.is_homogeneous:
         indptr, indices = graph.homogeneous_csr()
         et = graph.etypes[0]
@@ -258,11 +253,19 @@ def build_neighbor_sampler(feature_store, graph_store, num_neighbors,
         return collect_edge_attrs_by_etype(
             feature_store, graph_store, graph, attr)
 
-    return HeteroNeighborSampler(
+    sampler = HeteroNeighborSampler(
         graph, num_neighbors,
         weights_by_etype=_collect(weight_attr),
         times_by_etype=_collect(time_attr),
         max_unique_per_hop=max_unique_per_hop)
+    if disjoint:
+        # per-seed typed subgraphs (PyG disjoint over hetero loaders,
+        # ref distributed_sampler.py:168-218 disjoint batch offsets)
+        from cugraph_gnn_tpu.sampler.disjoint import (
+            DisjointNeighborSampler,
+        )
+        sampler = DisjointNeighborSampler(sampler)
+    return sampler
 
 
 def _edge_attr_to_csr_order(graph_store: GraphStore, graph, et, attr):

@@ -29,6 +29,9 @@ def main():
     p.add_argument("--num-papers", type=int, default=2000)
     p.add_argument("--num-authors", type=int, default=1000)
     p.add_argument("--num-writes", type=int, default=6000)
+    p.add_argument("--disjoint", action="store_true",
+                   help="independent per-seed subgraphs (PyG disjoint "
+                        "mode; the decoder reads each seed's own row)")
     args = p.parse_args()
 
     import jax
@@ -58,7 +61,8 @@ def main():
     loader = LinkNeighborLoader(
         (fs, gs), num_neighbors=fanouts,
         edge_label_index=(et, np.stack([w_src, w_dst])),
-        neg_sampling="binary", batch_size=args.batch_size, shuffle=True)
+        neg_sampling="binary", batch_size=args.batch_size, shuffle=True,
+        disjoint=args.disjoint)
 
     g = gs.finalize()
     etype_names = ["__".join(e) for e in g.etypes]
@@ -78,15 +82,26 @@ def main():
         return total
 
     b0 = next(iter(loader))
-    params = model.init(jax.random.PRNGKey(0), input_features(b0.x),
-                        to_rel_batches(b0.sample))
+    x0, rb0 = input_features(b0.x), to_rel_batches(b0.sample)
+    if args.disjoint:
+        # init on one seed's subgraph (the same shapes vmap sees)
+        x0 = x0[0]
+        rb0 = jax.tree.map(lambda a: a[0], rb0)
+    params = model.init(jax.random.PRNGKey(0), x0, rb0)
     tx = optax.adam(args.lr)
     opt = tx.init(params)
 
     @jax.jit
     def step(params, opt, x, rel_batches, eli, lab, seeds):
         def loss_fn(p):
-            h = model.apply(p, x, rel_batches)
+            if args.disjoint:
+                # per-seed subgraphs: vmap the encoder over the seed
+                # axis; each seed's embedding is row 0 of its own
+                # namespace (no leakage between seeds)
+                h = jax.vmap(model.apply, in_axes=(None, 0, 0))(
+                    p, x, rel_batches)[:, 0]
+            else:
+                h = model.apply(p, x, rel_batches)
             score = jnp.sum(h[eli[0]] * h[eli[1]], axis=-1)
             valid = (seeds[eli[0]] >= 0) & (seeds[eli[1]] >= 0)
             ls = optax.sigmoid_binary_cross_entropy(score, lab)

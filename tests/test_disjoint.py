@@ -217,3 +217,71 @@ def test_disjoint_hetero_per_seed_subgraphs():
                 m = ok[si]
                 np.testing.assert_array_equal(
                     nxt[si][nl[si][m]], ng[si][m])
+
+
+def test_disjoint_hetero_via_neighbor_loader():
+    """disjoint=True on a heterogeneous NeighborLoader: per-seed typed
+    subgraphs + batch vector through the loader surface (was a
+    NotImplementedError; VERDICT r2 #7)."""
+    from cugraph_gnn_tpu.data import FeatureStore, GraphStore
+    from cugraph_gnn_tpu.loader import NeighborLoader
+
+    rng = np.random.default_rng(3)
+    n_a = n_b = 40
+    gs = GraphStore()
+    gs.put_edge_index((rng.integers(0, n_a, 300),
+                       rng.integers(0, n_b, 300)),
+                      ("a", "r1", "b"), num_nodes=(n_a, n_b))
+    gs.put_edge_index((rng.integers(0, n_b, 300),
+                       rng.integers(0, n_a, 300)),
+                      ("b", "r2", "a"), num_nodes=(n_b, n_a))
+    fs = FeatureStore()
+    fs[("a", "x")] = rng.standard_normal((n_a, 8)).astype(np.float32)
+    fs[("b", "x")] = rng.standard_normal((n_b, 8)).astype(np.float32)
+    fs[("a", "y")] = (np.arange(n_a) % 3).astype(np.int32)
+
+    loader = NeighborLoader((fs, gs), [3, 3], batch_size=8,
+                            input_nodes=("a", np.arange(n_a)),
+                            disjoint=True)
+    batch = next(iter(loader))
+    lv = batch.sample.levels[-1]
+    assert lv.ndim == 2 and lv.shape[0] == 8        # (B, cap)
+    assert batch.sample.batch.shape == (lv.size,)
+    # typed hop blocks carry the per-seed leading axis
+    for blocks in batch.sample.hops:
+        for blk in blocks.values():
+            assert blk.neigh_local.shape[0] == 8
+    # per-type features follow the per-seed layout
+    assert batch.x["a"].ndim == 3 and batch.x["a"].shape[0] == 8
+    # labels come from the typed seeds
+    assert batch.y.shape == (8,)
+
+
+def test_disjoint_hetero_via_link_loader():
+    from cugraph_gnn_tpu.data import FeatureStore, GraphStore
+    from cugraph_gnn_tpu.loader.link_loader import LinkNeighborLoader
+
+    rng = np.random.default_rng(4)
+    n_a = n_b = 40
+    e = 300
+    src = rng.integers(0, n_a, e)
+    dst = rng.integers(0, n_b, e)
+    gs = GraphStore()
+    gs.put_edge_index((src, dst), ("a", "w", "b"), num_nodes=(n_a, n_b))
+    fs = FeatureStore()
+    fs[("a", "x")] = rng.standard_normal((n_a, 8)).astype(np.float32)
+    fs[("b", "x")] = rng.standard_normal((n_b, 8)).astype(np.float32)
+
+    loader = LinkNeighborLoader(
+        (fs, gs), [3, 3],
+        edge_label_index=(("a", "w", "b"), np.stack([src, dst])),
+        neg_sampling="binary", batch_size=16, disjoint=True)
+    batch = next(iter(loader))
+    lv = batch.sample.levels[-1]
+    n_seeds = batch.seeds.shape[0]
+    assert lv.ndim == 2 and lv.shape[0] == n_seeds
+    # every valid seed's namespace starts with the seed itself
+    seeds = np.asarray(batch.seeds)
+    first = np.asarray(lv[:, 0])
+    ok = seeds >= 0
+    np.testing.assert_array_equal(first[ok], seeds[ok])
