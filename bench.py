@@ -214,6 +214,75 @@ def main():
         f"{1e3*dt/ITERS:.2f} ms/iter")
 
     edges_per_s = total_edges / dt
+    ms_total = 1e3 * dt / ITERS
+
+    # --- per-stage breakdown (sample / +feature gather / model) ---
+    # Same differencing discipline; regressions become attributable to
+    # a stage instead of hiding in the total (VERDICT r2 #8).
+    import os
+    if os.environ.get("BENCH_STAGES", "1") != "0":
+        def scan_block(body):
+            @jax.jit
+            def run_block(acc, key, indptr, indices, feats):
+                def step(c, i):
+                    return body(c, jax.random.fold_in(key, i), indptr,
+                                indices, feats), None
+                acc2, _ = jax.lax.scan(
+                    step, acc, jnp.arange(REPS, dtype=jnp.int32))
+                return acc2
+            return run_block
+
+        def _sample_body(acc, key, indptr, indices, feats):
+            sk, pk = jax.random.split(key)
+            seeds = jax.random.randint(pk, (BATCH,), 0, NUM_NODES,
+                                       jnp.int32)
+            s = multihop_uniform(sk, indptr, indices, seeds, FANOUTS,
+                                 dedup=False,
+                                 indices2d=indices.reshape(-1, 128),
+                                 max_degree=max_degree,
+                                 hub_frac=hub_frac)
+            return acc + jnp.sum(s.levels[-1]).astype(jnp.int32)
+
+        def _sg_body(acc, key, indptr, indices, feats):
+            sk, pk = jax.random.split(key)
+            seeds = jax.random.randint(pk, (BATCH,), 0, NUM_NODES,
+                                       jnp.int32)
+            s = multihop_uniform(sk, indptr, indices, seeds, FANOUTS,
+                                 dedup=False,
+                                 indices2d=indices.reshape(-1, 128),
+                                 max_degree=max_degree,
+                                 hub_frac=hub_frac)
+            inp = s.input_nodes
+            x = jnp.where((inp >= 0)[:, None], feats[jnp.clip(inp, 0)], 0)
+            return acc + jnp.sum(x).astype(jnp.float32).astype(jnp.int32)
+
+        def time_block(blk):
+            nonlocal key
+            acc = jnp.zeros((), jnp.int32)
+            key, sk = jax.random.split(key)
+            int(blk(acc, sk, indptr_j, indices_j, feats))  # compile+warm
+            def loop(n):
+                nonlocal key
+                a = jnp.zeros((), jnp.int32)
+                for _ in range(n):
+                    key, sk2 = jax.random.split(key)
+                    a = blk(a, sk2, indptr_j, indices_j, feats)
+                return int(a)
+            t0 = time.perf_counter()
+            loop(1)
+            small = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            loop(NB + 1)
+            return max(time.perf_counter() - t0 - small, 1e-9) \
+                / (NB * REPS) * 1e3
+
+        ms_sample = time_block(scan_block(_sample_body))
+        ms_sg = time_block(scan_block(_sg_body))
+        log(f"stage split: sample {ms_sample:.2f} ms, "
+            f"+feature gather {max(ms_sg - ms_sample, 0):.2f} ms, "
+            f"model(+overlap) {max(ms_total - ms_sg, 0):.2f} ms "
+            f"(total {ms_total:.2f} ms)")
+
     print(json.dumps({
         "metric": "sampled_edges_per_s_per_chip",
         "value": round(edges_per_s, 1),

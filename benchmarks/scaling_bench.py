@@ -117,6 +117,30 @@ def main():
         dt = max(time.perf_counter() - t0 - t_small, 1e-9)
         ms = max(1e3 * dt / ITERS, 1e-6)
         times[w] = ms
+
+        # per-hop a2a id volume + remote feature-row volume of one
+        # batch (host accounting — pins comm-volume regressions that
+        # virtual-mesh step times cannot)
+        book = loader.dist_graph.book
+        fbook = (loader.features.book if loader.features is not None
+                 else book)
+        hop_ids_remote = []
+        sample = b0.sample
+        per = None
+        for lvl in sample.levels[:-1]:
+            ids = np.asarray(lvl)
+            per = ids.reshape(w, -1)
+            remote = 0
+            for r in range(w):
+                mine = per[r][per[r] >= 0]
+                remote += int(np.sum(book.owner_of_np(mine) != r))
+            hop_ids_remote.append(remote)
+        inp = np.asarray(sample.input_nodes).reshape(w, -1)
+        feat_remote = 0
+        for r in range(w):
+            mine = inp[r][inp[r] >= 0]
+            feat_remote += int(np.sum(fbook.owner_of_np(mine) != r))
+
         print(json.dumps({
             "mesh_size": w, "ms_per_iter": round(ms, 3),
             "global_batch": PER_CHIP_BATCH * w,
@@ -124,6 +148,8 @@ def main():
                 PER_CHIP_BATCH * w * sum(
                     np.prod(FANOUTS[:i + 1]) for i in range(len(FANOUTS))
                 ) / (ms * 1e-3), 1),
+            "a2a_seed_ids_remote_per_hop": hop_ids_remote,
+            "a2a_feature_rows_remote": feat_remote,
         }), flush=True)
 
     base = times[sizes[0]]

@@ -89,6 +89,31 @@ def main():
     timed("slab MXU bf16", run_slab_bf16, (ell, x))
     timed("slab MXU f32 ", run_slab_f32, (ell, x))
 
+    # bit-packed adjacency path (round 3): decode ~4 VPU passes + MXU
+    # matmul instead of K compare-accumulate passes.  Density matches
+    # DEG/(3R) per bit (the timing is content-independent).
+    @jax.jit
+    def make_bits():
+        k = jax.random.PRNGKey(9)
+        planes = jax.random.bernoulli(k, DEG / (3.0 * R), (N, 128, 8))
+        w = (2 ** jnp.arange(8, dtype=jnp.int32))[None, None, :]
+        return jnp.sum(planes * w, axis=-1).astype(jnp.int8)
+
+    bits = jax.block_until_ready(make_bits())
+
+    def run_slab_bits_bf16(g_bits, g_x):
+        gg = g._replace(ell_bits=g_bits)
+        return slab_spmm(gg, g_x, reduce="sum", compute_dtype=jnp.bfloat16,
+                         interpret=False)
+
+    def run_slab_bits_f32(g_bits, g_x):
+        gg = g._replace(ell_bits=g_bits)
+        return slab_spmm(gg, g_x, reduce="sum", compute_dtype=jnp.float32,
+                         interpret=False)
+
+    timed("slab bits bf16", run_slab_bits_bf16, (bits, x))
+    timed("slab bits f32 ", run_slab_bits_f32, (bits, x))
+
     # ELL-composite reference: 62 GB/s effective (PERF_NOTES.md);
     # the per-row gather formulation is row-rate bound at ~116 GB/s.
 
@@ -108,6 +133,12 @@ def main():
         return slab_attention_spmm(gg, g_x, ad, asx, interpret=False)
 
     timed("slab attention", run_attn, (ell, x, a_d, a_s))
+
+    def run_attn_bits(g_bits, g_x, ad, asx):
+        gg = g._replace(ell_bits=g_bits)
+        return slab_attention_spmm(gg, g_x, ad, asx, interpret=False)
+
+    timed("slab attention bits", run_attn_bits, (bits, x, a_d, a_s))
 
     # -- fused attention backward (dst + transpose-src kernels) ----------
     from cugraph_gnn_tpu.ops.pallas.slab_attn_grad import (
@@ -136,6 +167,17 @@ def main():
 
     timed("slab attn bwd ", run_attn_bwd,
           (ell, t_ell, x, a_d, a_s, m_st, s_st, t_st, gout))
+
+    def run_attn_bwd_bits(g_bits, g_tbits, g_x, ad, asx, gm, gs, gt,
+                          gg_out):
+        pair = AttnSlabPair(fwd=g._replace(ell_bits=g_bits),
+                            t_ell=t_ell, t_bits=g_tbits)
+        dx, dad, das = slab_attention_bwd(pair, g_x, ad, asx, gm, gs, gt,
+                                          gg_out, interpret=False)
+        return dx + dad[:, None] + das[:, None]
+
+    timed("slab attn bwd bits", run_attn_bwd_bits,
+          (bits, bits, x, a_d, a_s, m_st, s_st, t_st, gout))
 
     # -- multi-head: all H heads in one kernel pass vs a per-head loop.
     # H * FH = F keeps total feature bytes identical, so the delta is
@@ -209,6 +251,18 @@ def main():
            s_h[:N2], t_h[:N2], gout[:N2]))
     timed("attn bwd mh(4) loop  (N/2)", run_attn_bwd_headloop,
           (ell[:N2], t_ell[:N2], x[:N2], ad_h[:N2], as_h[:N2], m_h[:N2],
+           s_h[:N2], t_h[:N2], gout[:N2]))
+
+    def run_attn_bwd_mh_bits(g_bits, g_x, ad, asx, gm, gs, gt, gg_out):
+        pair = AttnSlabPair(fwd=g2._replace(ell_bits=g_bits),
+                            t_ell=t_ell[:N2], t_bits=g_bits)
+        dx, dad, das = slab_attention_bwd_mh(
+            pair, g_x.reshape(N2, H, FH), ad, asx, gm, gs, gt,
+            gg_out.reshape(N2, H, FH), interpret=False)
+        return dx.reshape(N2, F) + dad[:, :1] + das[:, :1]
+
+    timed("attn bwd mh(4) bits  (N/2)", run_attn_bwd_mh_bits,
+          (bits[:N2], x[:N2], ad_h[:N2], as_h[:N2], m_h[:N2],
            s_h[:N2], t_h[:N2], gout[:N2]))
 
 

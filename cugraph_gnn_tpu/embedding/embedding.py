@@ -84,7 +84,8 @@ def _sparse_apply_shard(table, state, ids, grads, *, book: PartitionBook,
     # second dedup: same id may arrive from several ranks
     fids, fgrads = dedup_ids_grads(req_ids, req_grads)
     my_rank = jax.lax.axis_index(axis)
-    my_count = jnp.asarray(np.asarray(book.counts))[my_rank]
+    my_count = jnp.asarray(
+        np.asarray(book.counts).astype(np.int32))[my_rank]
     local = book.local_offset(jnp.maximum(fids, 0))
     ok = ((fids >= 0)
           & (book.owner_of(jnp.maximum(fids, 0)) == my_rank)

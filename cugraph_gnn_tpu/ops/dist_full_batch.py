@@ -100,22 +100,33 @@ def _halo_exchange(x_local, r_blk: int, axis: str, world: int):
 
 def _shard_spmm_body(ell_local, x_local, fb_src, fb_dst, ell_w=None,
                      fb_w=None, *, r_blk: int, k_width: int, world: int,
-                     axis: str, book, compute_dtype, interpret: bool):
+                     axis: str, book, compute_dtype, interpret: bool,
+                     use_bits: bool = False):
     """Per-shard body: halo exchange -> slab MXU kernel over local
     blocks -> distributed fallback gather + local segment reduce.
     ``ell_w``/``fb_w``: optional per-edge weights (same layout as the
-    ids)."""
+    ids).  With ``use_bits`` the first operand is the bit-packed
+    adjacency (rs, 128) int8 instead of the ELL (decode + one matmul,
+    no K compare passes)."""
     from jax.experimental import pallas as pl
 
-    from cugraph_gnn_tpu.ops.pallas.slab_kernel import _slab_kernel
+    from cugraph_gnn_tpu.ops.pallas.slab_kernel import (
+        _slab_bits_kernel,
+        _slab_kernel,
+    )
 
     rs, f = x_local.shape[0], x_local.shape[1]
     nb_local = rs // r_blk
     x_ext = _halo_exchange(x_local, r_blk, axis, world)
 
     weighted = ell_w is not None
-    kern = functools.partial(_slab_kernel, k_width, weighted, compute_dtype)
-    ell_spec = pl.BlockSpec((r_blk, k_width), lambda b: (b, 0))
+    if use_bits:
+        kern = functools.partial(_slab_bits_kernel, compute_dtype)
+        ell_spec = pl.BlockSpec((r_blk, 128), lambda b: (b, 0))
+    else:
+        kern = functools.partial(_slab_kernel, k_width, weighted,
+                                 compute_dtype)
+        ell_spec = pl.BlockSpec((r_blk, k_width), lambda b: (b, 0))
     x_specs = [pl.BlockSpec((r_blk, f), lambda b, o=o: (b + o, 0))
                for o in range(3)]
     in_specs = [ell_spec] + ([ell_spec] if weighted else []) + x_specs
@@ -206,6 +217,22 @@ class DistFullBatchGraph:
         self._ell = put_global(ell, sh)
         self.weighted = weights is not None
 
+        def pad_bits(bits):
+            """Row-shard the bit-packed adjacency (zero rows = no
+            in-band edges); None when the slab has no bits form."""
+            if bits is None:
+                return None
+            bits = np.asarray(bits)
+            if bits.shape[0] < n_pad_w:
+                bits = np.concatenate([
+                    bits, np.zeros((n_pad_w - bits.shape[0], 128),
+                                   bits.dtype)])
+            return put_global(bits, sh)
+
+        # the bits fast path only replaces the unweighted adjacency
+        self._ell_bits = (None if self.weighted
+                          else pad_bits(slab.ell_bits))
+
         def pad_w(w_arr):
             w_arr = np.asarray(w_arr, np.float32)
             if w_arr.shape[0] < n_pad_w:
@@ -248,6 +275,8 @@ class DistFullBatchGraph:
                 ell_t, np.full((n_pad_w - ell_t.shape[0], ell_t.shape[1]),
                                -1, np.int32)])
         self._ell_t = put_global(ell_t, sh)
+        self._ell_bits_t = (None if self.weighted
+                            else pad_bits(slab_t.ell_bits))
         if self.weighted:
             self._ell_w_t = pad_w(np.asarray(slab_t.ell_w))
             tb_src, tb_dst, tb_w = _bucket_fallback(
@@ -331,19 +360,25 @@ class DistFullBatchGraph:
     def _spmm_sharded(self, x, *, transpose: bool, compute_dtype,
                       arrays=None):
         interpret = jax.default_backend() != "tpu"
-        ell_w = fb_w = None
+        ell_w = fb_w = bits = None
         if arrays is not None:
             ell, fb_s, fb_d = arrays
         elif transpose:
             ell, fb_s, fb_d = self._ell_t, self._fb_src_t, self._fb_dst_t
             ell_w, fb_w = self._ell_w_t, self._fb_w_t
+            bits = self._ell_bits_t
         else:
             ell, fb_s, fb_d = self._ell, self._fb_src, self._fb_dst
             ell_w, fb_w = self._ell_w, self._fb_w
+            bits = self._ell_bits
+        use_bits = bits is not None and ell_w is None
         body = functools.partial(
             _shard_spmm_body, r_blk=self._r_blk, k_width=ell.shape[1],
             world=self._world, axis=self.axis, book=self._book,
-            compute_dtype=compute_dtype, interpret=interpret)
+            compute_dtype=compute_dtype, interpret=interpret,
+            use_bits=use_bits)
+        if use_bits:
+            ell = bits
         p = P(self.axis)
         # check_vma=False: pallas_call out_shapes don't carry vma
         # annotations yet
@@ -425,9 +460,21 @@ class DistFullBatchGraph:
             s_src, s_dst = _bucket_fallback(fb_s, fb_d, self._rs,
                                             self._world, bucket_by="src",
                                             localize="src")
+            def padded_bits(bits):
+                if bits is None:
+                    return None
+                bits = np.asarray(bits)
+                if bits.shape[0] < self._n_pad:
+                    bits = np.concatenate([
+                        bits, np.zeros((self._n_pad - bits.shape[0], 128),
+                                       bits.dtype)])
+                return put_global(bits, sh)
+
             self._attn = dict(
                 ell=padded(np.asarray(pair.fwd.ell)),
                 t_ell=padded(np.asarray(pair.t_ell)),
+                bits=padded_bits(pair.fwd.ell_bits),
+                t_bits=padded_bits(pair.t_bits),
                 fb_dst_bucketed=(put_global(d_src, sh),
                                  put_global(d_dst, sh)),
                 fb_src_bucketed=(put_global(s_src, sh),
@@ -443,6 +490,9 @@ class DistFullBatchGraph:
         r_blk, world, axis, book = (self._r_blk, self._world, self.axis,
                                     self._book)
         k_w = st["ell"].shape[1]
+        use_bits = st["bits"] is not None
+        adj = st["bits"] if use_bits else st["ell"]
+        adj_w = adj.shape[1]
         fb_src, fb_dst = st["fb_dst_bucketed"]
 
         def body(ell_local, x_local, ad_local, as_local, fb_s, fb_d):
@@ -465,15 +515,15 @@ class DistFullBatchGraph:
                                       (rs + 2 * r_blk, 128))
             ad_l = jnp.broadcast_to(
                 ad_local.astype(jnp.float32)[:, None], (rs, 128))
-            kern = ft.partial(_slab_attn_kernel, k_w, negative_slope,
-                              jnp.float32)
+            kern = ft.partial(_slab_attn_kernel, k_w, use_bits,
+                              negative_slope, jnp.float32)
             sl = [pl.BlockSpec((r_blk, 128), lambda b, o=o: (b + o, 0))
                   for o in range(3)]
             xl = [pl.BlockSpec((r_blk, f), lambda b, o=o: (b + o, 0))
                   for o in range(3)]
             u, m_b, s_b = pl.pallas_call(
                 kern, grid=(nb_local,),
-                in_specs=[pl.BlockSpec((r_blk, k_w), lambda b: (b, 0)),
+                in_specs=[pl.BlockSpec((r_blk, adj_w), lambda b: (b, 0)),
                           pl.BlockSpec((r_blk, 128), lambda b: (b, 0))]
                 + sl + xl,
                 out_specs=[pl.BlockSpec((r_blk, f), lambda b: (b, 0)),
@@ -522,7 +572,7 @@ class DistFullBatchGraph:
         return jax.shard_map(
             body, mesh=self.mesh, in_specs=(p,) * 6,
             out_specs=(p, p, p), check_vma=False,
-        )(st["ell"], x, alpha_dst, alpha_src, fb_src, fb_dst)
+        )(adj, x, alpha_dst, alpha_src, fb_src, fb_dst)
 
     def _attn_bwd_sharded(self, x, alpha_dst, alpha_src, m, s, t, g,
                           negative_slope):
@@ -536,6 +586,10 @@ class DistFullBatchGraph:
                                     self._book)
         k_f = st["ell"].shape[1]
         k_t = st["t_ell"].shape[1]
+        use_bits = (st["bits"] is not None and st["t_bits"] is not None)
+        adj_f = st["bits"] if use_bits else st["ell"]
+        adj_t = st["t_bits"] if use_bits else st["t_ell"]
+        w_f, w_t = adj_f.shape[1], adj_t.shape[1]
         fb_src_l, fb_dst_g = st["fb_src_bucketed"]
         AD, M, S, T, AS = 0, 1, 2, 3, 4  # lane layout (slab_attn_grad)
 
@@ -546,7 +600,7 @@ class DistFullBatchGraph:
             from jax.experimental import pallas as pl
 
             from cugraph_gnn_tpu.ops.pallas.slab_attn_grad import (
-                _bwd_dst_kernel, _bwd_src_kernel)
+                _bwd_fused_kernel)
 
             rs, f = x_l.shape
             nb_local = rs // r_blk
@@ -580,28 +634,22 @@ class DistFullBatchGraph:
                                      lambda b, o=o: (b + o, 0))
                         for o in range(3)]
 
-            dad = pl.pallas_call(
-                ft.partial(_bwd_dst_kernel, k_f, negative_slope),
+            # fused: both orientations in one pass, x/g/stats slabs
+            # DMA'd once (same win as the single-chip fused bwd)
+            dad, dx, das = pl.pallas_call(
+                ft.partial(_bwd_fused_kernel, k_f, k_t, use_bits,
+                           negative_slope),
                 grid=(nb_local,),
-                in_specs=[ell_spec(k_f), blk_spec(128)] + slabs(128)
-                + [blk_spec(f)] + slabs(f),
-                out_specs=ell_spec(128),
-                out_shape=jax.ShapeDtypeStruct((rs, 128), jnp.float32),
-                interpret=interpret,
-            )(ell_l, st_ext, st_ext, st_ext, st_ext, g_ext,
-              x_ext, x_ext, x_ext)[:, 0]
-
-            dx, das = pl.pallas_call(
-                ft.partial(_bwd_src_kernel, k_t, negative_slope),
-                grid=(nb_local,),
-                in_specs=[ell_spec(k_t), blk_spec(128)] + slabs(128)
-                + [blk_spec(f)] + slabs(f),
-                out_specs=[ell_spec(f), ell_spec(128)],
-                out_shape=[jax.ShapeDtypeStruct((rs, f), jnp.float32),
+                in_specs=[ell_spec(w_f), ell_spec(w_t)] + slabs(128)
+                + slabs(f) + slabs(f),
+                out_specs=[ell_spec(128), ell_spec(f), ell_spec(128)],
+                out_shape=[jax.ShapeDtypeStruct((rs, 128), jnp.float32),
+                           jax.ShapeDtypeStruct((rs, f), jnp.float32),
                            jax.ShapeDtypeStruct((rs, 128), jnp.float32)],
                 interpret=interpret,
-            )(tell_l, st_ext, st_ext, st_ext, st_ext, x_ext,
-              g_ext, g_ext, g_ext)
+            )(ell_l, tell_l, st_ext, st_ext, st_ext,
+              x_ext, x_ext, x_ext, g_ext, g_ext, g_ext)
+            dad = dad[:, 0]
             das = das[:, 0]
 
             if fb_s.shape[0]:
@@ -640,7 +688,7 @@ class DistFullBatchGraph:
         return jax.shard_map(
             body, mesh=self.mesh, in_specs=(p,) * 11,
             out_specs=(p, p, p), check_vma=False,
-        )(st["ell"], st["t_ell"], x, alpha_dst, alpha_src, m, s, t, g,
+        )(adj_f, adj_t, x, alpha_dst, alpha_src, m, s, t, g,
           fb_src_l, fb_dst_g)
 
     def attention_spmm(self, x, alpha_dst, alpha_src, *,
@@ -686,6 +734,9 @@ class DistFullBatchGraph:
         r_blk, world, axis, book = (self._r_blk, self._world, self.axis,
                                     self._book)
         k_w = st["ell"].shape[1]
+        use_bits = st["bits"] is not None
+        adj = st["bits"] if use_bits else st["ell"]
+        adj_w = adj.shape[1]
         fb_src, fb_dst = st["fb_dst_bucketed"]
 
         def body(ell_local, x_local, ad_local, as_local, fb_s, fb_d):
@@ -704,15 +755,15 @@ class DistFullBatchGraph:
             as_ext = jnp.pad(as_e, ((0, 0), (0, 128 - heads)))
             ad_l = jnp.pad(ad_local.astype(jnp.float32),
                            ((0, 0), (0, 128 - heads)))
-            kern = ft.partial(_slab_attn_mh_kernel, k_w, heads, fh,
-                              negative_slope, jnp.float32)
+            kern = ft.partial(_slab_attn_mh_kernel, k_w, use_bits,
+                              heads, fh, negative_slope, jnp.float32)
             sl = [pl.BlockSpec((r_blk, 128), lambda b, o=o: (b + o, 0))
                   for o in range(3)]
             xl = [pl.BlockSpec((r_blk, hf), lambda b, o=o: (b + o, 0))
                   for o in range(3)]
             u, m_b, s_b = pl.pallas_call(
                 kern, grid=(nb_local,),
-                in_specs=[pl.BlockSpec((r_blk, k_w), lambda b: (b, 0)),
+                in_specs=[pl.BlockSpec((r_blk, adj_w), lambda b: (b, 0)),
                           pl.BlockSpec((r_blk, 128), lambda b: (b, 0))]
                 + sl + xl,
                 out_specs=[pl.BlockSpec((r_blk, hf), lambda b: (b, 0)),
@@ -762,7 +813,7 @@ class DistFullBatchGraph:
         return jax.shard_map(
             body, mesh=self.mesh, in_specs=(p,) * 6,
             out_specs=(p, p, p), check_vma=False,
-        )(st["ell"], x2, alpha_dst, alpha_src, fb_src, fb_dst)
+        )(adj, x2, alpha_dst, alpha_src, fb_src, fb_dst)
 
     def _attn_bwd_sharded_mh(self, x2, alpha_dst, alpha_src, m, s, t, g2,
                              heads, fh, negative_slope):
@@ -775,6 +826,10 @@ class DistFullBatchGraph:
                                     self._book)
         k_f = st["ell"].shape[1]
         k_t = st["t_ell"].shape[1]
+        use_bits = (st["bits"] is not None and st["t_bits"] is not None)
+        adj_fa = st["bits"] if use_bits else st["ell"]
+        adj_ta = st["t_bits"] if use_bits else st["t_ell"]
+        w_f, w_t = adj_fa.shape[1], adj_ta.shape[1]
         fb_src_l, fb_dst_g = st["fb_src_bucketed"]
 
         def body(ell_l, tell_l, x_l, ad_l, as_l, m_l, s_l, t_l, g_l,
@@ -784,7 +839,7 @@ class DistFullBatchGraph:
             from jax.experimental import pallas as pl
 
             from cugraph_gnn_tpu.ops.pallas.slab_attn_grad import (
-                _bwd_dst_kernel_mh, _bwd_src_kernel_mh)
+                _bwd_fused_kernel_mh)
 
             rs, hf = x_l.shape
             nb_local = rs // r_blk
@@ -817,30 +872,20 @@ class DistFullBatchGraph:
                                      lambda b, o=o: (b + o, 0))
                         for o in range(3)]
 
-            dad = pl.pallas_call(
-                ft.partial(_bwd_dst_kernel_mh, k_f, heads, fh,
-                           negative_slope),
+            dad, dx, das = pl.pallas_call(
+                ft.partial(_bwd_fused_kernel_mh, k_f, k_t, use_bits,
+                           heads, fh, negative_slope),
                 grid=(nb_local,),
-                in_specs=[ell_spec(k_f), blk_spec(128)] + slabs(128)
-                + [blk_spec(hf)] + slabs(hf),
-                out_specs=ell_spec(128),
-                out_shape=jax.ShapeDtypeStruct((rs, 128), jnp.float32),
-                interpret=interpret,
-            )(ell_l, st_ext, st_ext, st_ext, st_ext, g_ext,
-              x_ext, x_ext, x_ext)[:, :heads]
-
-            dx, das = pl.pallas_call(
-                ft.partial(_bwd_src_kernel_mh, k_t, heads, fh,
-                           negative_slope),
-                grid=(nb_local,),
-                in_specs=[ell_spec(k_t), blk_spec(128)] + slabs(128)
-                + [blk_spec(hf)] + slabs(hf),
-                out_specs=[ell_spec(hf), ell_spec(128)],
-                out_shape=[jax.ShapeDtypeStruct((rs, hf), jnp.float32),
+                in_specs=[ell_spec(w_f), ell_spec(w_t)] + slabs(128)
+                + slabs(hf) + slabs(hf),
+                out_specs=[ell_spec(128), ell_spec(hf), ell_spec(128)],
+                out_shape=[jax.ShapeDtypeStruct((rs, 128), jnp.float32),
+                           jax.ShapeDtypeStruct((rs, hf), jnp.float32),
                            jax.ShapeDtypeStruct((rs, 128), jnp.float32)],
                 interpret=interpret,
-            )(tell_l, st_ext, st_ext, st_ext, st_ext, x_ext,
-              g_ext, g_ext, g_ext)
+            )(ell_l, tell_l, st_ext, st_ext, st_ext,
+              x_ext, x_ext, x_ext, g_ext, g_ext, g_ext)
+            dad = dad[:, :heads]
             das = das[:, :heads]
 
             if fb_s.shape[0]:
@@ -881,7 +926,7 @@ class DistFullBatchGraph:
         return jax.shard_map(
             body, mesh=self.mesh, in_specs=(p,) * 11,
             out_specs=(p, p, p), check_vma=False,
-        )(st["ell"], st["t_ell"], x2, alpha_dst, alpha_src, m, s, t, g2,
+        )(adj_fa, adj_ta, x2, alpha_dst, alpha_src, m, s, t, g2,
           fb_src_l, fb_dst_g)
 
     def attention_spmm_mh(self, x, alpha_dst, alpha_src, *,

@@ -40,14 +40,19 @@ zoo").
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-from cugraph_gnn_tpu.ops.pallas.slab_kernel import SlabGraph
+from cugraph_gnn_tpu.ops.pallas.slab_kernel import (
+    SlabGraph,
+    _decode_bits,
+    _first_occurrence_mask,
+    _pack_bits,
+)
 
 # packed per-node stats lanes (one lane-replicated f32 array, 128 lanes):
 _AD, _M, _S, _T, _AS = 0, 1, 2, 3, 4
@@ -57,10 +62,14 @@ class AttnSlabPair(NamedTuple):
     """Symmetric banded split: `fwd` is a regular SlabGraph (consumable
     by slab_attention_spmm); `t_ell` is the transpose-orientation ELL
     over the SAME in-band edge set (row = source node, entries =
-    slab-local destination rows)."""
+    slab-local destination rows).  `t_bits` is the transpose
+    orientation's bit-packed adjacency (None when 3R > 1024), mirroring
+    SlabGraph.ell_bits — the backward kernels decode it instead of
+    running K compare-accumulate passes per head."""
 
     fwd: SlabGraph
     t_ell: jax.Array
+    t_bits: Optional[jax.Array] = None
 
 
 def build_attention_slab_pair(indptr, indices, *, block_rows: int = 256,
@@ -89,6 +98,9 @@ def build_attention_slab_pair(indptr, indices, *, block_rows: int = 256,
     cs0 = np.concatenate([[0], np.cumsum(inband.astype(np.int64))])
     rank_f = cs0[1:] - cs0[indptr[rows]]
     cand = inband & (rank_f <= max_k)
+    # dedupe parallel in-band edges (multiplicity-free bit decode);
+    # duplicates ride the exact fallback
+    cand &= _first_occurrence_mask(rows, cols, cand, n)
     # transpose rank within column among candidates (stable CSR order)
     pos = np.nonzero(cand)[0]
     order = np.argsort(cols[pos], kind="stable")
@@ -117,8 +129,12 @@ def build_attention_slab_pair(indptr, indices, *, block_rows: int = 256,
     t_ell = np.full((n_pad, k_t), -1, np.int32)
     kt = rank_t[rank_t < max_k]
     t_blk = cols[kept_pc] // r_blk
-    t_ell[cols[kept_pc], kt] = (
-        rows[kept_pc] - t_blk * r_blk + r_blk).astype(np.int32)
+    t_slab_local = (rows[kept_pc] - t_blk * r_blk + r_blk).astype(np.int32)
+    t_ell[cols[kept_pc], kt] = t_slab_local
+    ell_bits = _pack_bits(
+        rows[keep], (cols[keep] - (rows[keep] // r_blk) * r_blk
+                     + r_blk).astype(np.int32), n_pad, r_blk)
+    t_bits = _pack_bits(cols[kept_pc], t_slab_local, n_pad, r_blk)
 
     fb = valid & ~keep
     pad = (-int(fb.sum())) % 128
@@ -128,70 +144,83 @@ def build_attention_slab_pair(indptr, indices, *, block_rows: int = 256,
                              np.full(pad, -1, np.int32)])
     degrees = np.bincount(rows[valid], minlength=n).astype(np.int32)
     conv = jnp.asarray if to_device else np.asarray
+    copt = lambda a: None if a is None else conv(a)
     fwd = SlabGraph(
         ell=conv(ell), ell_w=None,
         fb_src=conv(fb_src), fb_dst=conv(fb_dst), fb_w=None,
         degrees=conv(degrees),
-        num_rows=n, block_rows=r_blk, n_blocks=n_blocks)
-    return AttnSlabPair(fwd=fwd, t_ell=conv(t_ell))
+        num_rows=n, block_rows=r_blk, n_blocks=n_blocks,
+        ell_bits=copt(ell_bits))
+    return AttnSlabPair(fwd=fwd, t_ell=conv(t_ell), t_bits=copt(t_bits))
 
 
-def _onehot_expzm(idx, z, m_row_or_col, negative_slope, k_width):
-    """a[r, c] = multiplicity * exp(lrelu(z) - m) over ELL entries."""
+def _onehot_expzm(idx, z, m_row_or_col, negative_slope, k_width,
+                  use_bits):
+    """a[r, c] = adjacency * exp(lrelu(z) - m); adjacency decoded from
+    bit planes (one select) or accumulated from ELL entries (K passes,
+    the pre-round-3 VPU bound)."""
     r_blk = idx.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (r_blk, z.shape[1]), 1)
     lr = jnp.where(z >= 0, z, jnp.float32(negative_slope) * z)
     expzm = jnp.exp(lr - m_row_or_col)
+    if use_bits:
+        a = _decode_bits(idx, r_blk)
+        return jnp.where(a > 0, expzm, 0.0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (r_blk, z.shape[1]), 1)
     p = jnp.zeros(z.shape, jnp.float32)
     for k in range(k_width):
         p = p + jnp.where(iota == idx[:, k][:, None], expzm, 0.0)
     return p
 
 
-def _bwd_dst_kernel(k_width, negative_slope, ell_ref, st_blk, st0, st1, st2,
-                    g_ref, x0, x1, x2, dad_ref):
-    idx = ell_ref[...]
+def _bwd_fused_kernel(k_f, k_t, use_bits, negative_slope,
+                      ellf_ref, ellt_ref, st0, st1, st2,
+                      x0, x1, x2, g0, g1, g2,
+                      dad_ref, dx_ref, das_ref):
+    """Fused backward: both orientations in ONE grid pass so the x, g
+    and stats slabs are DMA'd once instead of once per kernel (the
+    split dst+src scheme re-reads ~14R rows/block of HBM; fused reads
+    ~9R — the round-3 attack on the bwd bandwidth gap).  The center
+    blocks (x1, g1, st1) double as the row-block operands."""
     slab_x = jnp.concatenate([x0[...], x1[...], x2[...]], axis=0)   # (3R, F)
+    slab_g = jnp.concatenate([g0[...], g1[...], g2[...]], axis=0)   # (3R, F)
     st_s = jnp.concatenate([st0[...], st1[...], st2[...]], axis=0)  # (3R,128)
     st_t = jnp.transpose(st_s, (1, 0))                              # (128,3R)
+    st_blk = st1[...]
+    ns = jnp.float32(negative_slope)
+
+    # -- dst orientation (fwd adjacency): rows are destinations --------
     as_row = st_t[_AS:_AS + 1]                                      # (1, 3R)
-    ad = st_blk[..., _AD:_AD + 1]                                   # (R, 1)
-    m = st_blk[..., _M:_M + 1]
-    s = st_blk[..., _S:_S + 1]
-    t = st_blk[..., _T:_T + 1]
+    ad = st_blk[:, _AD:_AD + 1]                                     # (R, 1)
+    m = st_blk[:, _M:_M + 1]
+    s = st_blk[:, _S:_S + 1]
+    t = st_blk[:, _T:_T + 1]
     z = ad + as_row                                                 # (R, 3R)
-    alpha = _onehot_expzm(idx, z, m, negative_slope, k_width) / s
+    alpha = _onehot_expzm(ellf_ref[...], z, m, negative_slope, k_f,
+                          use_bits) / s
     gx = jax.lax.dot_general(
-        g_ref[...].astype(jnp.float32), slab_x.astype(jnp.float32),
+        g1[...].astype(jnp.float32), slab_x.astype(jnp.float32),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                         # (R, 3R)
-    dz = jnp.where(z >= 0, 1.0, jnp.float32(negative_slope))
-    de = alpha * (gx - t) * dz
+    de = alpha * (gx - t) * jnp.where(z >= 0, 1.0, ns)
     dad = jnp.sum(de, axis=1, keepdims=True)
     dad_ref[...] = jnp.broadcast_to(dad, dad_ref.shape)
 
-
-def _bwd_src_kernel(k_width, negative_slope, ell_ref, st_blk, st0, st1, st2,
-                    x_ref, g0, g1, g2, dx_ref, das_ref):
-    idx = ell_ref[...]
-    slab_g = jnp.concatenate([g0[...], g1[...], g2[...]], axis=0)   # (3R, F)
-    st_s = jnp.concatenate([st0[...], st1[...], st2[...]], axis=0)
-    st_t = jnp.transpose(st_s, (1, 0))                              # (128,3R)
+    # -- src orientation (transpose adjacency): rows are sources -------
     ad_row = st_t[_AD:_AD + 1]
     m_row = st_t[_M:_M + 1]
     s_row = st_t[_S:_S + 1]
     t_row = st_t[_T:_T + 1]
-    as_col = st_blk[..., _AS:_AS + 1]                               # (R, 1)
-    z = as_col + ad_row                                             # (R, 3R)
-    alpha_t = _onehot_expzm(idx, z, m_row, negative_slope, k_width) / s_row
+    as_col = st_blk[:, _AS:_AS + 1]                                 # (R, 1)
+    z2 = as_col + ad_row                                            # (R, 3R)
+    alpha_t = _onehot_expzm(ellt_ref[...], z2, m_row, negative_slope,
+                            k_t, use_bits) / s_row
     dx = jnp.dot(alpha_t, slab_g.astype(jnp.float32),
                  preferred_element_type=jnp.float32)                # (R, F)
     gx_t = jax.lax.dot_general(
-        x_ref[...].astype(jnp.float32), slab_g.astype(jnp.float32),
+        x1[...].astype(jnp.float32), slab_g.astype(jnp.float32),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                         # (R, 3R)
-    dz = jnp.where(z >= 0, 1.0, jnp.float32(negative_slope))
-    de_t = alpha_t * (gx_t - t_row) * dz
+    de_t = alpha_t * (gx_t - t_row) * jnp.where(z2 >= 0, 1.0, ns)
     das = jnp.sum(de_t, axis=1, keepdims=True)
     dx_ref[...] = dx
     das_ref[...] = jnp.broadcast_to(das, das_ref.shape)
@@ -231,36 +260,29 @@ def slab_attention_bwd(pair: AttnSlabPair, x, alpha_dst, alpha_src,
 
     k_f = graph.ell.shape[1]
     k_t = pair.t_ell.shape[1]
-    blk_spec = lambda width: pl.BlockSpec((r_blk, width), lambda b: (b + 1, 0))
     slab_specs = lambda width: [
         pl.BlockSpec((r_blk, width), lambda b, o=o: (b + o, 0))
         for o in range(3)]
     ell_spec = lambda width: pl.BlockSpec((r_blk, width), lambda b: (b, 0))
     out_spec = lambda width: pl.BlockSpec((r_blk, width), lambda b: (b, 0))
 
-    dad_b = pl.pallas_call(
-        functools.partial(_bwd_dst_kernel, k_f, negative_slope),
+    use_bits = graph.ell_bits is not None and pair.t_bits is not None
+    adj_f = graph.ell_bits if use_bits else graph.ell
+    adj_t = pair.t_bits if use_bits else pair.t_ell
+    dad_b, dx_b, das_b = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, k_f, k_t, use_bits,
+                          negative_slope),
         grid=(nb,),
-        in_specs=[ell_spec(k_f), blk_spec(128)] + slab_specs(128)
-        + [blk_spec(f)] + slab_specs(f),
-        out_specs=out_spec(128),
-        out_shape=jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
-        interpret=interpret,
-    )(graph.ell, st_pad, st_pad, st_pad, st_pad, g_pad,
-      x_pad, x_pad, x_pad)[:n, 0]
-
-    dx_b, das_b = pl.pallas_call(
-        functools.partial(_bwd_src_kernel, k_t, negative_slope),
-        grid=(nb,),
-        in_specs=[ell_spec(k_t), blk_spec(128)] + slab_specs(128)
-        + [blk_spec(f)] + slab_specs(f),
-        out_specs=[out_spec(f), out_spec(128)],
-        out_shape=[jax.ShapeDtypeStruct((n_pad, f), jnp.float32),
+        in_specs=[ell_spec(adj_f.shape[1]), ell_spec(adj_t.shape[1])]
+        + slab_specs(128) + slab_specs(f) + slab_specs(f),
+        out_specs=[out_spec(128), out_spec(f), out_spec(128)],
+        out_shape=[jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad, f), jnp.float32),
                    jax.ShapeDtypeStruct((n_pad, 128), jnp.float32)],
         interpret=interpret,
-    )(pair.t_ell, st_pad, st_pad, st_pad, st_pad, x_pad,
-      g_pad, g_pad, g_pad)
-    dx_b, das_b = dx_b[:n], das_b[:n, 0]
+    )(adj_f, adj_t, st_pad, st_pad, st_pad,
+      x_pad, x_pad, x_pad, g_pad, g_pad, g_pad)
+    dad_b, dx_b, das_b = dad_b[:n, 0], dx_b[:n], das_b[:n, 0]
 
     src, dst = graph.fb_src, graph.fb_dst
     if src.shape[0]:
@@ -297,7 +319,9 @@ def slab_attention_bwd(pair: AttnSlabPair, x, alpha_dst, alpha_src,
 MAX_PACKED_HEADS = 25
 
 
-def _mh_cnt(idx, r_blk, k_width):
+def _mh_cnt(idx, r_blk, k_width, use_bits):
+    if use_bits:
+        return _decode_bits(idx, r_blk)
     iota = jax.lax.broadcasted_iota(jnp.int32, (r_blk, 3 * r_blk), 1)
     cnt = jnp.zeros((r_blk, 3 * r_blk), jnp.float32)
     for k in range(k_width):
@@ -305,64 +329,57 @@ def _mh_cnt(idx, r_blk, k_width):
     return cnt
 
 
-def _bwd_dst_kernel_mh(k_width, heads, f, negative_slope, ell_ref, st_blk,
-                       st0, st1, st2, g_ref, x0, x1, x2, dad_ref):
-    idx = ell_ref[...]
-    r_blk = idx.shape[0]
+def _bwd_fused_kernel_mh(k_f, k_t, use_bits, heads, f, negative_slope,
+                         ellf_ref, ellt_ref, st0, st1, st2,
+                         x0, x1, x2, g0, g1, g2,
+                         dad_ref, dx_ref, das_ref):
+    """Fused multi-head backward: one grid pass over both orientations
+    — the (3R, H*F) x and g slabs, and the packed-stats slab, are DMA'd
+    once and shared by all heads AND both orientations (the split mh
+    scheme re-read every slab twice)."""
+    r_blk = st1.shape[0]
     slab_x = jnp.concatenate([x0[...], x1[...], x2[...]], axis=0)   # (3R,H*F)
+    slab_g = jnp.concatenate([g0[...], g1[...], g2[...]], axis=0)   # (3R,H*F)
     st_s = jnp.concatenate([st0[...], st1[...], st2[...]], axis=0)
     st_t = jnp.transpose(st_s, (1, 0))                              # (128,3R)
-    cnt = _mh_cnt(idx, r_blk, k_width)
-    has_edge = cnt > 0
+    blk = st1[...]
+    cnt_f = _mh_cnt(ellf_ref[...], r_blk, k_f, use_bits)
+    cnt_t = _mh_cnt(ellt_ref[...], r_blk, k_t, use_bits)
+    edge_f = cnt_f > 0
+    edge_t = cnt_t > 0
     ninf = jnp.float32(-jnp.inf)
-    g = g_ref[...].astype(jnp.float32)
-    dads = []
+    ns = jnp.float32(negative_slope)
+    g = g1[...].astype(jnp.float32)
+    x = x1[...].astype(jnp.float32)
+    dads, dxs, dass = [], [], []
     for h in range(heads):
-        blk = st_blk[...]
+        # dst orientation
         ad = blk[:, 0 * heads + h:0 * heads + h + 1]                # (R, 1)
         m = blk[:, 1 * heads + h:1 * heads + h + 1]
         s = blk[:, 2 * heads + h:2 * heads + h + 1]
         t = blk[:, 3 * heads + h:3 * heads + h + 1]
         as_row = st_t[4 * heads + h:4 * heads + h + 1]              # (1, 3R)
         z = ad + as_row                                             # (R, 3R)
-        e = jnp.where(z >= 0, z, jnp.float32(negative_slope) * z)
-        e = jnp.where(has_edge, e, ninf)
-        alpha = cnt * jnp.exp(e - m) / s
+        e = jnp.where(z >= 0, z, ns * z)
+        e = jnp.where(edge_f, e, ninf)
+        alpha = cnt_f * jnp.exp(e - m) / s
+        xh = slab_x[:, h * f:(h + 1) * f].astype(jnp.float32)
         gx = jax.lax.dot_general(
-            g[:, h * f:(h + 1) * f],
-            slab_x[:, h * f:(h + 1) * f].astype(jnp.float32),
+            g[:, h * f:(h + 1) * f], xh,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)                     # (R, 3R)
-        dz = jnp.where(z >= 0, 1.0, jnp.float32(negative_slope))
-        de = alpha * (gx - t) * dz
+        de = alpha * (gx - t) * jnp.where(z >= 0, 1.0, ns)
         dads.append(jnp.sum(de, axis=1, keepdims=True))
-    pad = jnp.zeros((r_blk, 128 - heads), jnp.float32)
-    dad_ref[...] = jnp.concatenate(dads + [pad], axis=1)
-
-
-def _bwd_src_kernel_mh(k_width, heads, f, negative_slope, ell_ref, st_blk,
-                       st0, st1, st2, x_ref, g0, g1, g2, dx_ref, das_ref):
-    idx = ell_ref[...]
-    r_blk = idx.shape[0]
-    slab_g = jnp.concatenate([g0[...], g1[...], g2[...]], axis=0)   # (3R,H*F)
-    st_s = jnp.concatenate([st0[...], st1[...], st2[...]], axis=0)
-    st_t = jnp.transpose(st_s, (1, 0))                              # (128,3R)
-    cnt = _mh_cnt(idx, r_blk, k_width)
-    has_edge = cnt > 0
-    ninf = jnp.float32(-jnp.inf)
-    x = x_ref[...].astype(jnp.float32)
-    dxs, dass = [], []
-    for h in range(heads):
-        blk = st_blk[...]
+        # src orientation
         as_col = blk[:, 4 * heads + h:4 * heads + h + 1]            # (R, 1)
         ad_row = st_t[0 * heads + h:0 * heads + h + 1]              # (1, 3R)
         m_row = st_t[1 * heads + h:1 * heads + h + 1]
         s_row = st_t[2 * heads + h:2 * heads + h + 1]
         t_row = st_t[3 * heads + h:3 * heads + h + 1]
-        z = as_col + ad_row                                         # (R, 3R)
-        e = jnp.where(z >= 0, z, jnp.float32(negative_slope) * z)
-        e = jnp.where(has_edge, e, ninf)
-        alpha_t = cnt * jnp.exp(e - m_row) / s_row
+        z2 = as_col + ad_row                                        # (R, 3R)
+        e2 = jnp.where(z2 >= 0, z2, ns * z2)
+        e2 = jnp.where(edge_t, e2, ninf)
+        alpha_t = cnt_t * jnp.exp(e2 - m_row) / s_row
         gh = slab_g[:, h * f:(h + 1) * f].astype(jnp.float32)
         dxs.append(jnp.dot(alpha_t, gh,
                            preferred_element_type=jnp.float32))     # (R, F)
@@ -370,10 +387,10 @@ def _bwd_src_kernel_mh(k_width, heads, f, negative_slope, ell_ref, st_blk,
             x[:, h * f:(h + 1) * f], gh,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)                     # (R, 3R)
-        dz = jnp.where(z >= 0, 1.0, jnp.float32(negative_slope))
-        de_t = alpha_t * (gx_t - t_row) * dz
+        de_t = alpha_t * (gx_t - t_row) * jnp.where(z2 >= 0, 1.0, ns)
         dass.append(jnp.sum(de_t, axis=1, keepdims=True))
     pad = jnp.zeros((r_blk, 128 - heads), jnp.float32)
+    dad_ref[...] = jnp.concatenate(dads + [pad], axis=1)
     dx_ref[...] = jnp.concatenate(dxs, axis=1)
     das_ref[...] = jnp.concatenate(dass + [pad], axis=1)
 
@@ -421,28 +438,23 @@ def slab_attention_bwd_mh(pair: AttnSlabPair, x, alpha_dst, alpha_src,
     ell_spec = lambda width: pl.BlockSpec((r_blk, width), lambda b: (b, 0))
     out_spec = lambda width: pl.BlockSpec((r_blk, width), lambda b: (b, 0))
 
-    dad_b = pl.pallas_call(
-        functools.partial(_bwd_dst_kernel_mh, k_f, heads, f, negative_slope),
+    use_bits = graph.ell_bits is not None and pair.t_bits is not None
+    adj_f = graph.ell_bits if use_bits else graph.ell
+    adj_t = pair.t_bits if use_bits else pair.t_ell
+    dad_b, dx_b, das_b = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel_mh, k_f, k_t, use_bits,
+                          heads, f, negative_slope),
         grid=(nb,),
-        in_specs=[ell_spec(k_f), blk_spec(128)] + slab_specs(128)
-        + [blk_spec(hf)] + slab_specs(hf),
-        out_specs=out_spec(128),
-        out_shape=jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
-        interpret=interpret,
-    )(graph.ell, st_pad, st_pad, st_pad, st_pad, g_pad,
-      x_pad, x_pad, x_pad)[:n, :heads]
-
-    dx_b, das_b = pl.pallas_call(
-        functools.partial(_bwd_src_kernel_mh, k_t, heads, f, negative_slope),
-        grid=(nb,),
-        in_specs=[ell_spec(k_t), blk_spec(128)] + slab_specs(128)
-        + [blk_spec(hf)] + slab_specs(hf),
-        out_specs=[out_spec(hf), out_spec(128)],
-        out_shape=[jax.ShapeDtypeStruct((n_pad, hf), jnp.float32),
+        in_specs=[ell_spec(adj_f.shape[1]), ell_spec(adj_t.shape[1])]
+        + slab_specs(128) + slab_specs(hf) + slab_specs(hf),
+        out_specs=[out_spec(128), out_spec(hf), out_spec(128)],
+        out_shape=[jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad, hf), jnp.float32),
                    jax.ShapeDtypeStruct((n_pad, 128), jnp.float32)],
         interpret=interpret,
-    )(pair.t_ell, st_pad, st_pad, st_pad, st_pad, x_pad,
-      g_pad, g_pad, g_pad)
+    )(adj_f, adj_t, st_pad, st_pad, st_pad,
+      x_pad, x_pad, x_pad, g_pad, g_pad, g_pad)
+    dad_b = dad_b[:n, :heads]
     dx_b = dx_b[:n].reshape(n, heads, f)
     das_b = das_b[:n, :heads]
 

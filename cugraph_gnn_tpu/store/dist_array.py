@@ -273,7 +273,8 @@ def _dist_scatter_shard(table, ids, values, *, book: PartitionBook,
     req_vals, _, _ = _ragged_a2a(
         sorted_vals, offsets, counts, axis, world * b)
     my_rank = jax.lax.axis_index(axis)
-    my_count = jnp.asarray(np.asarray(book.counts))[my_rank]
+    my_count = jnp.asarray(
+        np.asarray(book.counts).astype(np.int32))[my_rank]
     local = book.local_offset(jnp.maximum(req_ids, 0))
     # Positions beyond the received total hold stale ids from the output
     # buffer fill; mask them by position.

@@ -139,3 +139,39 @@ def test_sampled_path_matches_full_on_saturating_fanout(g):
     out = conv.apply(params, x_dst, x_neigh, hop.mask)
     np.testing.assert_allclose(np.asarray(out), g["sage_out"],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_gcn_sampled_deg_aware_matches_full(g):
+    """The GCN sampled path's exact-normalization branch (global
+    degrees provided) must equal the golden-verified full-batch path at
+    saturating fanout (VERDICT r2 weak #6: the deg-aware path was
+    untested against a full-batch reference)."""
+    from cugraph_gnn_tpu.native import build_csr
+    from cugraph_gnn_tpu.sampler.neighbor_sampler import NeighborSampler
+
+    src, dst, x = g["src"], g["dst"], g["x"]
+    n = x.shape[0]
+    indptr, indices, _ = build_csr(dst.astype(np.int64),
+                                   src.astype(np.int64), n)
+    deg_in = (indptr[1:] - indptr[:-1]).astype(np.float32)
+    deg_hat = deg_in + 1.0  # add_self_loops=True degree
+
+    max_deg = int(deg_in.max())
+    sampler = NeighborSampler(jnp.asarray(indptr, jnp.int32),
+                              jnp.asarray(indices, jnp.int32), [max_deg])
+    seeds = jnp.arange(n, dtype=jnp.int32)
+    batch = sampler.sample(jax.random.PRNGKey(0), seeds)
+    hop = batch.hops[0]
+
+    conv = GCNConv(features=g["gcn_out"].shape[1], add_self_loops=True)
+    params = _p({"lin": {"kernel": g["gcn_w"], "bias": g["gcn_b"]}})
+
+    x_all = jnp.asarray(x)[jnp.clip(batch.levels[1], 0)]
+    x_dst = x_all[:n]
+    x_neigh = x_all[jnp.clip(hop.neigh_local, 0)]
+    neigh_ids = np.asarray(hop.neigh_global)
+    dn = jnp.asarray(deg_hat[np.maximum(neigh_ids, 0)])
+    out = conv.apply(params, x_dst, x_neigh, hop.mask,
+                     jnp.asarray(deg_hat), dn)
+    np.testing.assert_allclose(np.asarray(out), g["gcn_out"],
+                               rtol=1e-4, atol=1e-4)

@@ -11,7 +11,7 @@ from cugraph_gnn_tpu.ops.pallas.slab_kernel import build_slab_graph, slab_spmm
 from cugraph_gnn_tpu.ops.spmm import segment_spmm
 
 
-def make_graph(n, deg, band, rng, frac_far=0.0):
+def make_graph(n, deg, band, rng, frac_far=0.0, simple=False):
     src, dst = [], []
     for i in range(n):
         for _ in range(int(deg)):
@@ -21,7 +21,16 @@ def make_graph(n, deg, band, rng, frac_far=0.0):
                 j = int(np.clip(i + rng.integers(-band, band + 1), 0, n - 1))
             src.append(j)
             dst.append(i)
-    return np.asarray(src, np.int32), np.asarray(dst, np.int32)
+    src = np.asarray(src, np.int32)
+    dst = np.asarray(dst, np.int32)
+    if simple:
+        # drop parallel edges: build_slab_graph dedupes the band (the
+        # bit-packed adjacency is multiplicity-free), so only simple
+        # graphs can have band_fraction == 1.0
+        _, ix = np.unique(src.astype(np.int64) * n + dst,
+                          return_index=True)
+        src, dst = src[np.sort(ix)], dst[np.sort(ix)]
+    return src, dst
 
 
 @pytest.mark.parametrize("frac_far", [0.0, 0.3])
@@ -29,11 +38,13 @@ def make_graph(n, deg, band, rng, frac_far=0.0):
 def test_slab_matches_segment(frac_far, reduce):
     rng = np.random.default_rng(0)
     n, f = 700, 128
-    src, dst = make_graph(n, 6, 100, rng, frac_far=frac_far)
+    src, dst = make_graph(n, 6, 100, rng, frac_far=frac_far,
+                          simple=frac_far == 0.0)
     indptr, indices, _ = build_csr(dst, src, n)
     g = build_slab_graph(indptr, indices, block_rows=256)
     if frac_far == 0.0:
         assert g.band_fraction == 1.0
+        assert g.ell_bits is not None
     x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
     out = slab_spmm(g, x, reduce=reduce, compute_dtype=jnp.float32)
     rows = np.repeat(np.arange(n), np.diff(indptr))
@@ -129,7 +140,7 @@ def test_slab_attention_band_only():
 
     rng = np.random.default_rng(4)
     n, f = 384, 64
-    src, dst = make_graph(n, 5, 50, rng)
+    src, dst = make_graph(n, 5, 50, rng, simple=True)
     indptr, indices, _ = build_csr(dst, src, n)
     g = build_slab_graph(indptr, indices, block_rows=128)
     assert g.band_fraction == 1.0
