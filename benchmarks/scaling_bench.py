@@ -144,7 +144,9 @@ def main():
         print(json.dumps({
             "mesh_size": w, "ms_per_iter": round(ms, 3),
             "global_batch": PER_CHIP_BATCH * w,
-            "edges_per_s": round(
+            # degenerate timings (oversubscribed virtual mesh) would
+            # publish nonsense rates — report null instead
+            "edges_per_s": None if ms < 1.0 else round(
                 PER_CHIP_BATCH * w * sum(
                     np.prod(FANOUTS[:i + 1]) for i in range(len(FANOUTS))
                 ) / (ms * 1e-3), 1),
@@ -153,10 +155,21 @@ def main():
         }), flush=True)
 
     base = times[sizes[0]]
-    eff = {w: round(base / times[w], 4) for w in sizes}
-    print(json.dumps({"weak_scaling_efficiency": eff,
-                      "target": ">=0.80 at max W on TPU pods"}),
-          flush=True)
+    # On the oversubscribed virtual-CPU mesh the W=1 step time can be
+    # degenerate (~0 ms); an efficiency ratio against it is meaningless
+    # and reads like a failed >=0.80 gate.  Publish null instead and
+    # keep only the comm-volume fields, which are exact either way.
+    if base < 1.0:
+        print(json.dumps({
+            "weak_scaling_efficiency": None,
+            "note": "W=1 baseline time degenerate on this backend; "
+                    "efficiency omitted (comm volumes above are exact)",
+            "target": ">=0.80 at max W on TPU pods"}), flush=True)
+    else:
+        eff = {w: round(base / times[w], 4) for w in sizes}
+        print(json.dumps({"weak_scaling_efficiency": eff,
+                          "target": ">=0.80 at max W on TPU pods"}),
+              flush=True)
 
 
 if __name__ == "__main__":

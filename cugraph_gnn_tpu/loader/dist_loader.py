@@ -154,16 +154,29 @@ class DistNeighborLoader:
             self.labels = None  # resolved against input_type below
             self._y_attr = y_attr
         elif self._local_mode:
-            if weight_attr is not None or time_attr is not None:
-                raise NotImplementedError(
-                    "edge attributes with rank-local construction: pass "
-                    "weights/times to DistGraph.from_local_coo directly "
-                    "(they ride the same routing as the edges)")
             et = graph_store.edge_types[0]
             src_l, dst_l = graph_store.get_edge_index(et)
+
+            def local_edge_attr(attr):
+                # rank-local construction: the edge attribute must be
+                # the RANK-LOCAL slice aligned with this process's COO
+                # shard; it rides the same all-to-all routing as the
+                # edges and is CSR-ordered per shard by from_local_coo
+                if attr is None:
+                    return None
+                v = np.asarray(feature_store.get_tensor("", attr))
+                if len(v) != len(src_l):
+                    raise ValueError(
+                        f"edge attribute '{attr}' has {len(v)} entries "
+                        f"but this process's local COO shard has "
+                        f"{len(src_l)} edges (rank-local construction "
+                        f"aligns attrs with the local edge slice)")
+                return v
+
             self.dist_graph = DistGraph.from_local_coo(
                 src_l, dst_l, int(graph_store.num_nodes()), mesh,
-                axis=axis)
+                axis=axis, weights=local_edge_attr(weight_attr),
+                times=local_edge_attr(time_attr))
             self.sampler = DistNeighborSampler(
                 self.dist_graph, num_neighbors, dedup=dedup,
                 max_unique_per_hop=max_unique_per_hop)

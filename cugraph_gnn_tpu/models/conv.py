@@ -75,9 +75,15 @@ class GCNConv(nn.Module):
                             dtype=self.dtype, name="lin")
 
     def __call__(self, x_dst, x_neigh, mask, deg_dst=None, deg_neigh=None):
+        """deg_dst (B,) / deg_neigh (B, K): RAW global in-degrees of the
+        destination / neighbor nodes (the self-loop increment is applied
+        here when ``add_self_loops``, mirroring ``full``); when provided
+        the layer computes the exact symmetric normalization instead of
+        the mean-aggregation minibatch approximation."""
         if deg_dst is not None and deg_neigh is not None:
-            dd = jnp.maximum(deg_dst, 1).astype(x_neigh.dtype)
-            dn = jnp.maximum(deg_neigh, 1).astype(x_neigh.dtype)
+            inc = 1.0 if self.add_self_loops else 0.0
+            dd = jnp.maximum(deg_dst + inc, 1).astype(x_neigh.dtype)
+            dn = jnp.maximum(deg_neigh + inc, 1).astype(x_neigh.dtype)
             w = jax.lax.rsqrt(dd)[:, None] * jax.lax.rsqrt(dn)
             msgs = x_neigh * jnp.where(mask, w, 0)[..., None]
             agg = jnp.sum(msgs, axis=1)

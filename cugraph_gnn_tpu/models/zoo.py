@@ -42,8 +42,18 @@ class MultihopModel(nn.Module):
     def setup(self):
         self.convs = self.make_convs()
 
-    def __call__(self, x_input, batch: MultihopBatch, *, train: bool = False):
+    def __call__(self, x_input, batch: MultihopBatch, *, train: bool = False,
+                 deg_input=None):
+        """deg_input: optional (S_L,) RAW global in-degrees aligned with
+        ``x_input`` rows (gather them like features, e.g. from a
+        FeatureStore degree column).  Degree-aware convs (GCNConv) then
+        compute the exact symmetric normalization per hop instead of the
+        mean-aggregation minibatch approximation; degrees ride the same
+        level-slicing machinery as activations."""
         h = x_input
+        d = None
+        if deg_input is not None:
+            d = jnp.reshape(deg_input, (-1, 1)).astype(jnp.float32)
         num_hops = batch.num_hops
         assert num_hops == self.num_layers, (num_hops, self.num_layers)
         for li in range(num_hops - 1, -1, -1):
@@ -55,7 +65,16 @@ class MultihopModel(nn.Module):
             # per-shard concatenations) — see sampler/output.py.
             x_dst = batch.dst_activations(h, li)
             x_neigh = batch.gather_neighbors(h, li)
-            h = conv(x_dst, x_neigh, hop.mask)
+            if d is not None and isinstance(conv, GCNConv):
+                d_dst = batch.dst_activations(d, li)
+                d_neigh = batch.gather_neighbors(d, li)
+                h = conv(x_dst, x_neigh, hop.mask,
+                         d_dst[:, 0], d_neigh[..., 0])
+                d = d_dst
+            else:
+                if d is not None:
+                    d = batch.dst_activations(d, li)
+                h = conv(x_dst, x_neigh, hop.mask)
             if li != 0:
                 h = nn.relu(h)
                 if self.dropout > 0:

@@ -385,6 +385,9 @@ class DistGraph(NamedTuple):
         if edge_id_bits is None:
             edge_id_bits = 32 if total_edges < 2**31 - 1 else 64
         if edge_id_bits == 32:
+            if total_edges >= 2**31 - 1:
+                raise ValueError(
+                    f"{total_edges} edges do not fit 32-bit edge ids")
             eb = put_global(bases.astype(np.int32),
                             NamedSharding(mesh, P()))
         else:

@@ -84,6 +84,11 @@ def sample_negative_edges(key, num_src: int, num_dst: int, count: int,
         dst, _ = jax.lax.scan(body, dst, jax.random.split(k4, time_retries))
         dst = jnp.where(node_time[dst] > seed_time, -1, dst)
         src = jnp.where(dst < 0, -1, src)
+    # an empty edge table means "no true edges": skip rejection outright
+    # (the binary search below would gather on zero-length arrays, which
+    # under jit clamps to undefined values instead of cleanly missing)
+    if edge_key_sorted is not None and edge_key_sorted.shape[0] == 0:
+        edge_key_sorted = None
     if edge_key_sorted is not None:
         e_src = edge_key_sorted[:, 0]
         e_dst = edge_key_sorted[:, 1]

@@ -94,18 +94,35 @@ def route_local_edges(src, dst, num_nodes: int, mesh: Mesh, axis: str,
                     hist.astype(np.float64))).sum(axis=0).astype(np.int64)
         book = PartitionBook.edge_balanced(np.cumsum(hist), world)
 
-    # pack [src, dst, attrs...] into one int32 row per edge (float attrs
-    # ride as bit patterns)
-    names = list((vals or {}).keys())
-    cols = [src.astype(np.int64), dst.astype(np.int64)]
-    dtypes = {}
-    for nm in names:
-        v = np.asarray(vals[nm])
-        dtypes[nm] = v.dtype
-        cols.append(v.view(np.int32).astype(np.int64)
-                    if v.dtype.itemsize == 4 else v.astype(np.int64))
+    # pack [src, dst, attrs...] into int32 wire lanes per edge.  Every
+    # attribute rides as raw bit patterns: 4-byte dtypes take one lane,
+    # 8-byte dtypes (float64 weights, int64 times) split across two
+    # lanes, and sub-4-byte dtypes are losslessly widened to a 4-byte
+    # representative first.  Nothing is value-converted, so float
+    # weights and >=2**31 int64 times round-trip exactly.
     if src.max(initial=0) >= 2**31 or num_nodes >= 2**31:
         raise ValueError("node ids must fit int32")
+    names = list((vals or {}).keys())
+    cols = [src.astype(np.int32), dst.astype(np.int32)]
+    attr_meta = {}  # name -> (orig dtype, wire dtype, n lanes, col off)
+    for nm in names:
+        v = np.ascontiguousarray(np.asarray(vals[nm]))
+        orig = v.dtype
+        if v.dtype.itemsize < 4:
+            if v.dtype.kind == "f" or v.dtype.name == "bfloat16":
+                v = v.astype(np.float32)
+            elif v.dtype.kind == "u":
+                v = v.astype(np.uint32)
+            elif v.dtype.kind in "ib":
+                v = v.astype(np.int32)
+        if v.dtype.itemsize % 4 or v.dtype.kind not in "ifub":
+            raise ValueError(
+                f"unsupported edge-attribute dtype {orig} for '{nm}'")
+        lanes = v.dtype.itemsize // 4
+        attr_meta[nm] = (orig, v.dtype, lanes, len(cols))
+        lane_view = v.view(np.int32).reshape(len(v), lanes)
+        for j in range(lanes):
+            cols.append(lane_view[:, j])
     width = len(cols)
     e_local = len(src)
 
@@ -133,7 +150,7 @@ def route_local_edges(src, dst, num_nodes: int, mesh: Mesh, axis: str,
     segments = {r: [[] for _ in range(world)] for r in my_ranks}
 
     packed = np.stack(cols, axis=1) if e_local else np.zeros(
-        (0, width), np.int64)
+        (0, width), np.int32)
     for rnd in range(rounds):
         host_chunk = np.full((world * chunk, width), -1, np.int32)
 
@@ -146,7 +163,7 @@ def route_local_edges(src, dst, num_nodes: int, mesh: Mesh, axis: str,
                 lo = rnd * chunk
                 take = sel[lo: lo + chunk]
                 if len(take):
-                    out[: len(take)] = packed[take].astype(np.int32)
+                    out[: len(take)] = packed[take]
             return out
 
         rows = jax.make_array_from_callback(
@@ -177,10 +194,10 @@ def route_local_edges(src, dst, num_nodes: int, mesh: Mesh, axis: str,
                 else np.zeros((0, width), np.int32))
         out = {"src": allr[:, 0].astype(np.int64),
                "dst": allr[:, 1].astype(np.int64)}
-        for i, nm in enumerate(names):
-            col = allr[:, 2 + i]
-            dt = dtypes[nm]
-            out[nm] = (col.view(dt) if dt.itemsize == 4
-                       else col.astype(dt))
+        for nm in names:
+            orig, wire, lanes, off = attr_meta[nm]
+            lane_cols = np.ascontiguousarray(allr[:, off: off + lanes])
+            col = lane_cols.view(wire).reshape(-1)
+            out[nm] = col if wire == orig else col.astype(orig)
         shards[r] = out
     return book, shards
