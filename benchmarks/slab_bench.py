@@ -179,6 +179,19 @@ def main():
     timed("slab attn bwd bits", run_attn_bwd_bits,
           (bits, bits, x, a_d, a_s, m_st, s_st, t_st, gout))
 
+    def run_attn_bwd_bits_bf16(g_bits, g_tbits, g_x, ad, asx, gm, gs, gt,
+                               gg_out):
+        import jax.numpy as jnp
+        pair = AttnSlabPair(fwd=g._replace(ell_bits=g_bits),
+                            t_ell=t_ell, t_bits=g_tbits)
+        dx, dad, das = slab_attention_bwd(pair, g_x, ad, asx, gm, gs, gt,
+                                          gg_out, interpret=False,
+                                          compute_dtype=jnp.bfloat16)
+        return dx + dad[:, None] + das[:, None]
+
+    timed("slab attn bwd bits bf16", run_attn_bwd_bits_bf16,
+          (bits, bits, x, a_d, a_s, m_st, s_st, t_st, gout))
+
     # -- multi-head: all H heads in one kernel pass vs a per-head loop.
     # H * FH = F keeps total feature bytes identical, so the delta is
     # pure amortization of the one-hot adjacency build + dispatches.
@@ -262,6 +275,20 @@ def main():
         return dx.reshape(N2, F) + dad[:, :1] + das[:, :1]
 
     timed("attn bwd mh(4) bits  (N/2)", run_attn_bwd_mh_bits,
+          (bits[:N2], x[:N2], ad_h[:N2], as_h[:N2], m_h[:N2],
+           s_h[:N2], t_h[:N2], gout[:N2]))
+
+    def run_attn_bwd_mh_bits_bf16(g_bits, g_x, ad, asx, gm, gs, gt,
+                                  gg_out):
+        pair = AttnSlabPair(fwd=g2._replace(ell_bits=g_bits),
+                            t_ell=t_ell[:N2], t_bits=g_bits)
+        dx, dad, das = slab_attention_bwd_mh(
+            pair, g_x.reshape(N2, H, FH), ad, asx, gm, gs, gt,
+            gg_out.reshape(N2, H, FH), interpret=False,
+            compute_dtype=jnp.bfloat16)
+        return dx.reshape(N2, F) + dad[:, :1] + das[:, :1]
+
+    timed("attn bwd mh(4) bits bf16 (N/2)", run_attn_bwd_mh_bits_bf16,
           (bits[:N2], x[:N2], ad_h[:N2], as_h[:N2], m_h[:N2],
            s_h[:N2], t_h[:N2], gout[:N2]))
 

@@ -172,7 +172,7 @@ def _onehot_expzm(idx, z, m_row_or_col, negative_slope, k_width,
     return p
 
 
-def _bwd_fused_kernel(k_f, k_t, use_bits, negative_slope,
+def _bwd_fused_kernel(k_f, k_t, use_bits, negative_slope, compute_dtype,
                       ellf_ref, ellt_ref, st0, st1, st2,
                       x0, x1, x2, g0, g1, g2,
                       dad_ref, dx_ref, das_ref):
@@ -180,7 +180,11 @@ def _bwd_fused_kernel(k_f, k_t, use_bits, negative_slope,
     and stats slabs are DMA'd once instead of once per kernel (the
     split dst+src scheme re-reads ~14R rows/block of HBM; fused reads
     ~9R — the round-3 attack on the bwd bandwidth gap).  The center
-    blocks (x1, g1, st1) double as the row-block operands."""
+    blocks (x1, g1, st1) double as the row-block operands.
+    compute_dtype: MXU input dtype for the three (R,3R)x(3R,F) dots —
+    bf16 runs the MXU at native rate (f32 accumulate either way);
+    softmax reconstruction stays f32 on the VPU."""
+    cd = compute_dtype
     slab_x = jnp.concatenate([x0[...], x1[...], x2[...]], axis=0)   # (3R, F)
     slab_g = jnp.concatenate([g0[...], g1[...], g2[...]], axis=0)   # (3R, F)
     st_s = jnp.concatenate([st0[...], st1[...], st2[...]], axis=0)  # (3R,128)
@@ -198,7 +202,7 @@ def _bwd_fused_kernel(k_f, k_t, use_bits, negative_slope,
     alpha = _onehot_expzm(ellf_ref[...], z, m, negative_slope, k_f,
                           use_bits) / s
     gx = jax.lax.dot_general(
-        g1[...].astype(jnp.float32), slab_x.astype(jnp.float32),
+        g1[...].astype(cd), slab_x.astype(cd),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                         # (R, 3R)
     de = alpha * (gx - t) * jnp.where(z >= 0, 1.0, ns)
@@ -214,10 +218,10 @@ def _bwd_fused_kernel(k_f, k_t, use_bits, negative_slope,
     z2 = as_col + ad_row                                            # (R, 3R)
     alpha_t = _onehot_expzm(ellt_ref[...], z2, m_row, negative_slope,
                             k_t, use_bits) / s_row
-    dx = jnp.dot(alpha_t, slab_g.astype(jnp.float32),
+    dx = jnp.dot(alpha_t.astype(cd), slab_g.astype(cd),
                  preferred_element_type=jnp.float32)                # (R, F)
     gx_t = jax.lax.dot_general(
-        x1[...].astype(jnp.float32), slab_g.astype(jnp.float32),
+        x1[...].astype(cd), slab_g.astype(cd),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                         # (R, 3R)
     de_t = alpha_t * (gx_t - t_row) * jnp.where(z2 >= 0, 1.0, ns)
@@ -234,11 +238,13 @@ def _pad_rows(x, r_blk, n_pad, fill=0.0):
 
 def slab_attention_bwd(pair: AttnSlabPair, x, alpha_dst, alpha_src,
                        m, s, t, g, *, negative_slope: float = 0.2,
-                       interpret=None):
+                       compute_dtype=jnp.float32, interpret=None):
     """Gradients (dx, dalpha_dst, dalpha_src) of the fused attention
     aggregate, given the forward's merged softmax stats (m, s) and
     t[r] = g[r] . out[r].  Band edges run on the MXU slab kernels;
-    fallback edges through segment ops.  All f32."""
+    fallback edges through segment ops.  Outputs f32; compute_dtype
+    sets the MXU input precision of the block dots (bf16 = native MXU
+    rate, f32 accumulate)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     graph = pair.fwd
@@ -271,7 +277,7 @@ def slab_attention_bwd(pair: AttnSlabPair, x, alpha_dst, alpha_src,
     adj_t = pair.t_bits if use_bits else pair.t_ell
     dad_b, dx_b, das_b = pl.pallas_call(
         functools.partial(_bwd_fused_kernel, k_f, k_t, use_bits,
-                          negative_slope),
+                          negative_slope, compute_dtype),
         grid=(nb,),
         in_specs=[ell_spec(adj_f.shape[1]), ell_spec(adj_t.shape[1])]
         + slab_specs(128) + slab_specs(f) + slab_specs(f),
@@ -330,13 +336,16 @@ def _mh_cnt(idx, r_blk, k_width, use_bits):
 
 
 def _bwd_fused_kernel_mh(k_f, k_t, use_bits, heads, f, negative_slope,
+                         compute_dtype,
                          ellf_ref, ellt_ref, st0, st1, st2,
                          x0, x1, x2, g0, g1, g2,
                          dad_ref, dx_ref, das_ref):
     """Fused multi-head backward: one grid pass over both orientations
     — the (3R, H*F) x and g slabs, and the packed-stats slab, are DMA'd
     once and shared by all heads AND both orientations (the split mh
-    scheme re-read every slab twice)."""
+    scheme re-read every slab twice).  compute_dtype sets the MXU input
+    precision of the per-head dots (f32 accumulate either way)."""
+    cd = compute_dtype
     r_blk = st1.shape[0]
     slab_x = jnp.concatenate([x0[...], x1[...], x2[...]], axis=0)   # (3R,H*F)
     slab_g = jnp.concatenate([g0[...], g1[...], g2[...]], axis=0)   # (3R,H*F)
@@ -363,9 +372,9 @@ def _bwd_fused_kernel_mh(k_f, k_t, use_bits, heads, f, negative_slope,
         e = jnp.where(z >= 0, z, ns * z)
         e = jnp.where(edge_f, e, ninf)
         alpha = cnt_f * jnp.exp(e - m) / s
-        xh = slab_x[:, h * f:(h + 1) * f].astype(jnp.float32)
+        xh = slab_x[:, h * f:(h + 1) * f].astype(cd)
         gx = jax.lax.dot_general(
-            g[:, h * f:(h + 1) * f], xh,
+            g[:, h * f:(h + 1) * f].astype(cd), xh,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)                     # (R, 3R)
         de = alpha * (gx - t) * jnp.where(z >= 0, 1.0, ns)
@@ -380,11 +389,11 @@ def _bwd_fused_kernel_mh(k_f, k_t, use_bits, heads, f, negative_slope,
         e2 = jnp.where(z2 >= 0, z2, ns * z2)
         e2 = jnp.where(edge_t, e2, ninf)
         alpha_t = cnt_t * jnp.exp(e2 - m_row) / s_row
-        gh = slab_g[:, h * f:(h + 1) * f].astype(jnp.float32)
-        dxs.append(jnp.dot(alpha_t, gh,
+        gh = slab_g[:, h * f:(h + 1) * f].astype(cd)
+        dxs.append(jnp.dot(alpha_t.astype(cd), gh,
                            preferred_element_type=jnp.float32))     # (R, F)
         gx_t = jax.lax.dot_general(
-            x[:, h * f:(h + 1) * f], gh,
+            x[:, h * f:(h + 1) * f].astype(cd), gh,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)                     # (R, 3R)
         de_t = alpha_t * (gx_t - t_row) * jnp.where(z2 >= 0, 1.0, ns)
@@ -397,10 +406,11 @@ def _bwd_fused_kernel_mh(k_f, k_t, use_bits, heads, f, negative_slope,
 
 def slab_attention_bwd_mh(pair: AttnSlabPair, x, alpha_dst, alpha_src,
                           m, s, t, g, *, negative_slope: float = 0.2,
-                          interpret=None):
+                          compute_dtype=jnp.float32, interpret=None):
     """Multi-head backward: x/g (N, H, F); alpha_*/m/s/t (N, H).
     Returns (dx (N,H,F), dalpha_dst (N,H), dalpha_src (N,H)).
-    H <= MAX_PACKED_HEADS (5 packed stat lanes per head)."""
+    H <= MAX_PACKED_HEADS (5 packed stat lanes per head).
+    compute_dtype: MXU input precision of the block dots."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     graph = pair.fwd
@@ -443,7 +453,7 @@ def slab_attention_bwd_mh(pair: AttnSlabPair, x, alpha_dst, alpha_src,
     adj_t = pair.t_bits if use_bits else pair.t_ell
     dad_b, dx_b, das_b = pl.pallas_call(
         functools.partial(_bwd_fused_kernel_mh, k_f, k_t, use_bits,
-                          heads, f, negative_slope),
+                          heads, f, negative_slope, compute_dtype),
         grid=(nb,),
         in_specs=[ell_spec(adj_f.shape[1]), ell_spec(adj_t.shape[1])]
         + slab_specs(128) + slab_specs(hf) + slab_specs(hf),
@@ -486,12 +496,15 @@ def slab_attention_bwd_mh(pair: AttnSlabPair, x, alpha_dst, alpha_src,
 
 
 def differentiable_slab_attention_mh(pair: AttnSlabPair, *,
-                                     negative_slope: float = 0.2):
+                                     negative_slope: float = 0.2,
+                                     bwd_compute_dtype=jnp.float32):
     """Multi-head differentiable fused attention:
     f(x (N,H,F), alpha_dst (N,H), alpha_src (N,H)) -> (N, H, F) f32.
     Forward and backward each run ONE kernel pass over all heads
     (adjacency reconstruction amortized; per-head stats in packed
-    lanes).  H <= MAX_PACKED_HEADS."""
+    lanes).  H <= MAX_PACKED_HEADS.  bwd_compute_dtype=bf16 runs the
+    backward's MXU dots at native rate (f32 accumulate) — standard
+    mixed-precision gradient noise, default stays f32-exact."""
     from cugraph_gnn_tpu.ops.pallas.slab_kernel import slab_attention_spmm_mh
 
     @jax.custom_vjp
@@ -510,7 +523,8 @@ def differentiable_slab_attention_mh(pair: AttnSlabPair, *,
         t = jnp.sum(g.astype(jnp.float32) * out, axis=-1)           # (N, H)
         dx, dad, das = slab_attention_bwd_mh(
             pair, x, alpha_dst, alpha_src, m, s, t, g,
-            negative_slope=negative_slope)
+            negative_slope=negative_slope,
+            compute_dtype=bwd_compute_dtype)
         return (dx.astype(x.dtype), dad.astype(alpha_dst.dtype),
                 das.astype(alpha_src.dtype))
 
@@ -519,10 +533,12 @@ def differentiable_slab_attention_mh(pair: AttnSlabPair, *,
 
 
 def differentiable_slab_attention(pair: AttnSlabPair, *,
-                                  negative_slope: float = 0.2):
+                                  negative_slope: float = 0.2,
+                                  bwd_compute_dtype=jnp.float32):
     """Returns f(x, alpha_dst, alpha_src) -> (N, F) f32: the fused slab
     attention aggregate with a custom VJP (both passes on the MXU slab
-    kernels).  Build once per graph and reuse under jit."""
+    kernels).  Build once per graph and reuse under jit.
+    bwd_compute_dtype=bf16 runs the backward dots at native MXU rate."""
     from cugraph_gnn_tpu.ops.pallas.slab_kernel import slab_attention_spmm
 
     @jax.custom_vjp
@@ -541,7 +557,8 @@ def differentiable_slab_attention(pair: AttnSlabPair, *,
         t = jnp.sum(g.astype(jnp.float32) * out, axis=-1)
         dx, dad, das = slab_attention_bwd(
             pair, x, alpha_dst, alpha_src, m, s, t, g,
-            negative_slope=negative_slope)
+            negative_slope=negative_slope,
+            compute_dtype=bwd_compute_dtype)
         return (dx.astype(x.dtype), dad.astype(alpha_dst.dtype),
                 das.astype(alpha_src.dtype))
 

@@ -33,54 +33,128 @@ from cugraph_gnn_tpu.sampler.output import HopBlock
 
 
 class HeteroDistGraph:
-    """Per-edge-type row-sharded CSRs sharing one global-node book."""
+    """Per-edge-type row-sharded CSRs sharing one global-node book.
+
+    edge_id_bits: 32 (combined edge-id space fits int32) or 64 —
+    sampled hetero edge ids then come back as (hi, lo) int32 planes
+    like the homogeneous path (ops/edge_ids.py; HopBlock.edge_hi),
+    with the per-etype base folded in via plane arithmetic."""
 
     def __init__(self, graphs: Dict[str, DistGraph],
-                 edge_base_by_etype: Dict[str, int], mesh, axis: str):
+                 edge_base_by_etype: Dict[str, int], mesh, axis: str,
+                 edge_id_bits: int = 32):
         self.graphs = graphs
         self.edge_base_by_etype = edge_base_by_etype
         self.mesh = mesh
         self.axis = axis
+        self.edge_id_bits = edge_id_bits
         first = next(iter(graphs.values()))
         self.book = first.book
 
     @staticmethod
     def from_sampling_graph(graph, mesh, axis: str = STORE_AXIS,
                             weights_by_etype: Optional[Dict] = None,
-                            times_by_etype: Optional[Dict] = None
+                            times_by_etype: Optional[Dict] = None,
+                            edge_id_bits: Optional[int] = None
                             ) -> "HeteroDistGraph":
         """graph: data.graph_store.SamplingGraph (finalized store).
-        weights/times: {edge_type: per-edge array in CSR edge order}."""
+        weights/times: {edge_type: per-edge array in CSR edge order}.
+        edge_id_bits: force the edge-id width (default: 32 when the
+        combined base+count space fits int32, else 64 — ref int64-id
+        sampling, wholegraph_op.h:31-54)."""
         wbe = { _etype_str(k): v
                 for k, v in (weights_by_etype or {}).items() }
         tbe = { _etype_str(k): v
                 for k, v in (times_by_etype or {}).items() }
         from cugraph_gnn_tpu.store.partition import PartitionBook
-        graphs = {}
-        ebase = {}
-        total_edges = 0
         # one shared even row book across etypes: all etypes route seeds
         # in the same global node-id space (per-etype edge-balanced
         # books would disagree on ownership)
         book = PartitionBook.even(graph.num_nodes_total,
                                   mesh.shape[axis])
+        total_edges = 0
+        for et in graph.etypes:
+            indptr, _, edge_base = graph.csr_by_etype[et]
+            total_edges = max(
+                total_edges,
+                int(edge_base) + int(np.asarray(indptr)[-1]))
+        if edge_id_bits is None:
+            edge_id_bits = 32 if total_edges < 2**31 - 1 else 64
+        if edge_id_bits == 32 and total_edges >= 2**31 - 1:
+            raise ValueError(
+                f"{total_edges} combined hetero edges do not fit 32-bit "
+                "edge ids")
+        graphs = {}
+        ebase = {}
         for et in graph.etypes:
             ename = _etype_str(et)
             indptr, indices, edge_base = graph.csr_by_etype[et]
             n_edges = int(np.asarray(indptr)[-1])
-            total_edges = max(total_edges, int(edge_base) + n_edges)
             graphs[ename] = DistGraph.from_global_csr(
                 np.asarray(indptr), np.asarray(indices)[:n_edges], mesh,
                 axis=axis, weights=_trim(wbe.get(ename), n_edges),
-                times=_trim(tbe.get(ename), n_edges), book=book)
+                times=_trim(tbe.get(ename), n_edges), book=book,
+                edge_id_bits=edge_id_bits)
             ebase[ename] = int(edge_base)
-        if total_edges >= 2**31 - 1:
-            raise NotImplementedError(
-                "heterogeneous distributed graphs beyond 2**31 total "
-                "edges: the per-etype edge-id bases overflow int32 — "
-                "64-bit hetero edge ids are not wired yet (the "
-                "homogeneous DistGraph path supports them)")
-        return HeteroDistGraph(graphs, ebase, mesh, axis)
+        return HeteroDistGraph(graphs, ebase, mesh, axis, edge_id_bits)
+
+    @staticmethod
+    def from_local_coo(edges_by_etype: Dict, num_nodes_total: int, mesh,
+                       axis: str = STORE_AXIS,
+                       weights_by_etype: Optional[Dict] = None,
+                       times_by_etype: Optional[Dict] = None,
+                       edge_id_bits: Optional[int] = None,
+                       chunk: int = 1 << 18) -> "HeteroDistGraph":
+        """Rank-local heterogeneous construction: every process passes
+        only ITS slice of each edge type's COO, in GLOBAL (offset) node
+        ids — {edge_type: (src, dst)}.  Each etype routes through the
+        chunked device all-to-all (store/edge_exchange.py) over one
+        shared even book; no process ever holds a global COO (the
+        hetero analog of DistGraph.from_local_coo; ref rank-local put
+        graph_store.py:135-208).  Per-etype edge-id bases follow the
+        ename-sorted order of allgathered per-etype totals."""
+        import jax
+
+        from cugraph_gnn_tpu.store.partition import PartitionBook
+
+        wbe = { _etype_str(k): v
+                for k, v in (weights_by_etype or {}).items() }
+        tbe = { _etype_str(k): v
+                for k, v in (times_by_etype or {}).items() }
+        edges = { _etype_str(k): (np.asarray(s), np.asarray(d))
+                  for k, (s, d) in edges_by_etype.items() }
+        enames = sorted(edges.keys())
+        book = PartitionBook.even(num_nodes_total, mesh.shape[axis])
+
+        # per-etype global totals (rank-local lengths allgathered) give
+        # the ename-ordered edge-id bases
+        my_counts = np.asarray([len(edges[e][0]) for e in enames],
+                               np.int64)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            counts = np.asarray(multihost_utils.process_allgather(
+                my_counts.astype(np.float64))).sum(axis=0).astype(np.int64)
+        else:
+            counts = my_counts
+        total_edges = int(counts.sum())
+        if edge_id_bits is None:
+            edge_id_bits = 32 if total_edges < 2**31 - 1 else 64
+        if edge_id_bits == 32 and total_edges >= 2**31 - 1:
+            raise ValueError(
+                f"{total_edges} combined hetero edges do not fit 32-bit "
+                "edge ids")
+        bases = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+        graphs = {}
+        ebase = {}
+        for i, ename in enumerate(enames):
+            src, dst = edges[ename]
+            graphs[ename] = DistGraph.from_local_coo(
+                src, dst, num_nodes_total, mesh, axis=axis,
+                weights=wbe.get(ename), times=tbe.get(ename),
+                book=book, chunk=chunk, edge_id_bits=edge_id_bits)
+            ebase[ename] = int(bases[i])
+        return HeteroDistGraph(graphs, ebase, mesh, axis, edge_id_bits)
 
 
 def _trim(attr, n):
@@ -165,15 +239,31 @@ class HeteroDistNeighborSampler:
                     hkey = jax.random.fold_in(
                         jax.random.fold_in(key, h), ei)
                     st = seed_time if times is not None else None
-                    nbrs, eids, _ehi, _ = _one_hop_shard(
+                    nbrs, eids, ehi, _ = _one_hop_shard(
                         indptr, indices, edge_base, hkey, targets,
                         fanout=fan[h], book=dg.book, axis=axis,
                         weights=weights, times=times, seed_time=st,
-                        max_degree=dg.max_degree)
-                    eids = jnp.where(
-                        eids >= 0,
-                        eids + np.int32(g.edge_base_by_etype[ename]), -1)
-                    per_type[ename] = (nbrs, eids)
+                        max_degree=dg.max_degree,
+                        edge_id_bits=g.edge_id_bits)
+                    base = g.edge_base_by_etype[ename]
+                    if g.edge_id_bits == 64:
+                        # fold the int64 per-etype base into the (hi, lo)
+                        # planes: base = bh*2**30 + bl, carry on lo
+                        # overflow (lo < 2**30 so lo+bl < 2**31 is safe
+                        # in int32)
+                        bh, bl = divmod(int(base), 1 << 30)
+                        lo = eids + np.int32(bl)
+                        carry = (lo >= (1 << 30)).astype(jnp.int32)
+                        lo = lo - carry * np.int32(1 << 30)
+                        hi = ehi + np.int32(bh) + carry
+                        valid = eids >= 0
+                        per_type[ename] = (
+                            nbrs, jnp.where(valid, lo, -1),
+                            jnp.where(valid, hi, -1))
+                    else:
+                        eids = jnp.where(
+                            eids >= 0, eids + np.int32(base), -1)
+                        per_type[ename] = (nbrs, eids, None)
                     all_neighbors.append(nbrs.reshape(-1))
                 flat = (jnp.concatenate(all_neighbors) if all_neighbors
                         else jnp.zeros((0,), jnp.int32))
@@ -183,12 +273,13 @@ class HeteroDistNeighborSampler:
                 for ename in enames:
                     if ename not in per_type:
                         continue
-                    nbrs, eids = per_type[ename]
+                    nbrs, eids, ehi = per_type[ename]
                     n = nbrs.size
                     nl = uniq.neighbor_map[off: off + n].reshape(nbrs.shape)
                     off += n
                     blocks[ename] = HopBlock(
-                        neigh_local=nl, neigh_global=nbrs, edge_ids=eids)
+                        neigh_local=nl, neigh_global=nbrs, edge_ids=eids,
+                        edge_hi=ehi)
                 hops.append(blocks)
                 levels.append(uniq.unique_nodes)
                 level_counts.append(gcount(uniq.unique_nodes))
@@ -230,10 +321,11 @@ class HeteroDistNeighborSampler:
             e: (P(axis), P(axis), P(), opt(dg.weights), opt(dg.times))
             for e, dg in g.graphs.items()
         }
+        ehi_spec = P(axis) if g.edge_id_bits == 64 else None
         hop_specs = []
         for h in range(self.num_hops):
             hop_specs.append({
-                e: HopBlock(P(axis), P(axis), P(axis))
+                e: HopBlock(P(axis), P(axis), P(axis), ehi_spec)
                 for e in self.enames
                 if self.fanouts[e] is not None and self.fanouts[e][h] > 0
             })

@@ -273,3 +273,131 @@ def test_gcn_deg_input_through_loader_matches_full():
     assert np.allclose(np.asarray(out)[ok], np.asarray(full)[seeds[ok]],
                        atol=1e-4), np.abs(
         np.asarray(out)[ok] - np.asarray(full)[seeds[ok]]).max()
+
+
+# ---------------------------------------------------------------------------
+# heterogeneous 64-bit edge ids + rank-local hetero construction
+# ---------------------------------------------------------------------------
+
+ET_C = ("paper", "cites", "paper")
+ET_W = ("author", "writes", "paper")
+
+
+def _hetero_store(seed=5, n_p=96, n_a=64, e_c=600, e_w=400, local=False):
+    from cugraph_gnn_tpu.data import GraphStore
+
+    rng = np.random.default_rng(seed)
+    ec = (rng.integers(0, n_p, e_c), rng.integers(0, n_p, e_c))
+    ew = (rng.integers(0, n_a, e_w), rng.integers(0, n_p, e_w))
+    gs = GraphStore()
+    put = gs.put_local_edge_index if local else gs.put_edge_index
+    put(ec, ET_C, num_nodes=(n_p, n_p))
+    put(ew, ET_W, num_nodes=(n_a, n_p))
+    return gs, n_p, n_a
+
+
+def test_hetero_dist_64bit_edge_ids_match_32bit(cpu_mesh):
+    """The 64-bit hetero edge-id planes (base folded in via carry
+    arithmetic) must reproduce the 32-bit combined ids exactly."""
+    from cugraph_gnn_tpu.sampler.hetero_dist import (
+        HeteroDistGraph,
+        HeteroDistNeighborSampler,
+    )
+
+    gs, n_p, n_a = _hetero_store()
+    graph = gs.finalize()
+    dg32 = HeteroDistGraph.from_sampling_graph(graph, cpu_mesh)
+    dg64 = HeteroDistGraph.from_sampling_graph(graph, cpu_mesh,
+                                               edge_id_bits=64)
+    assert dg64.edge_id_bits == 64
+    seeds = jnp.asarray(np.arange(16, dtype=np.int32)
+                        + graph.node_offsets["paper"])
+    key = jax.random.PRNGKey(3)
+    b32 = HeteroDistNeighborSampler(dg32, [3, 3]).sample(key, seeds)
+    b64 = HeteroDistNeighborSampler(dg64, [3, 3]).sample(key, seeds)
+    for lv32, lv64 in zip(b32.levels, b64.levels):
+        assert np.array_equal(np.asarray(lv32), np.asarray(lv64))
+    n_checked = 0
+    for h32, h64 in zip(b32.hops, b64.hops):
+        for ename in h32:
+            ids32 = np.asarray(h32[ename].edge_ids).astype(np.int64)
+            assert h64[ename].edge_hi is not None
+            ids64 = h64[ename].edge_ids64()
+            assert np.array_equal(ids32, ids64), ename
+            n_checked += int((ids32 >= 0).sum())
+    assert n_checked > 0
+
+
+def test_hetero_dist_64bit_base_carry(cpu_mesh):
+    """Per-etype bases beyond 2**31 (the papers100M-class case) flow
+    through the (hi, lo) plane arithmetic: synthetic big bases shift
+    every sampled id by exactly (big_base - real_base)."""
+    from cugraph_gnn_tpu.sampler.hetero_dist import (
+        HeteroDistGraph,
+        HeteroDistNeighborSampler,
+    )
+
+    gs, n_p, n_a = _hetero_store()
+    graph = gs.finalize()
+    dg = HeteroDistGraph.from_sampling_graph(graph, cpu_mesh,
+                                             edge_id_bits=64)
+    # bases chosen to force lo-plane carries and hi planes > 1
+    big = {e: b for e, b in zip(sorted(dg.graphs),
+                                ((3 << 30) - 5, (7 << 31) + 123))}
+    dg_big = HeteroDistGraph(dg.graphs, big, cpu_mesh, dg.axis, 64)
+    seeds = jnp.asarray(np.arange(16, dtype=np.int32)
+                        + graph.node_offsets["paper"])
+    key = jax.random.PRNGKey(4)
+    b_small = HeteroDistNeighborSampler(dg, [3, 3]).sample(key, seeds)
+    b_big = HeteroDistNeighborSampler(dg_big, [3, 3]).sample(key, seeds)
+    for hs, hb in zip(b_small.hops, b_big.hops):
+        for ename in hs:
+            small = hs[ename].edge_ids64()
+            bigids = hb[ename].edge_ids64()
+            shift = big[ename] - dg.edge_base_by_etype[ename]
+            valid = small >= 0
+            assert np.array_equal(bigids[valid], small[valid] + shift)
+            assert np.all(bigids[~valid] == -1)
+            if valid.any():
+                assert bigids[valid].max() >= 2**31  # truly 64-bit ids
+
+
+def test_hetero_local_loader_matches_global(cpu_mesh):
+    """Rank-local heterogeneous construction through DistNeighborLoader
+    (was NotImplementedError): batches match the global-put hetero
+    loader bit-exactly, including float64 per-etype weights."""
+    from cugraph_gnn_tpu.data import FeatureStore
+    from cugraph_gnn_tpu.data.graph_store import edge_type_str
+    from cugraph_gnn_tpu.loader.dist_loader import DistNeighborLoader
+
+    rng = np.random.default_rng(9)
+    n_p, n_a = 96, 64
+    w_c = rng.random(600) + 0.1   # float64 on purpose
+    w_w = rng.random(400) + 0.1
+    xp = rng.standard_normal((n_p, 8)).astype(np.float32)
+    xa = rng.standard_normal((n_a, 8)).astype(np.float32)
+
+    def mk(local):
+        gs, _, _ = _hetero_store(local=local)
+        fs = FeatureStore()
+        fs[("paper", "x")] = xp
+        fs[("author", "x")] = xa
+        fs[(edge_type_str(ET_C), "w")] = w_c
+        fs[(edge_type_str(ET_W), "w")] = w_w
+        return DistNeighborLoader(
+            (fs, gs), [3, 3], cpu_mesh, batch_size=32, seed=11,
+            weight_attr="w", input_nodes=("paper", np.arange(n_p)))
+
+    n_batches = 0
+    for bA, bB in zip(mk(False), mk(True)):
+        assert np.array_equal(np.asarray(bA.seeds), np.asarray(bB.seeds))
+        for hA, hB in zip(bA.sample.hops, bB.sample.hops):
+            assert set(hA) == set(hB)
+            for ename in hA:
+                assert np.array_equal(
+                    np.asarray(hA[ename].edge_ids),
+                    np.asarray(hB[ename].edge_ids)), ename
+        for nt in bA.x:
+            assert np.allclose(np.asarray(bA.x[nt]), np.asarray(bB.x[nt]))
+        n_batches += 1
+    assert n_batches > 0
