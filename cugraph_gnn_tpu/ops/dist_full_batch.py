@@ -638,7 +638,7 @@ class DistFullBatchGraph:
             # DMA'd once (same win as the single-chip fused bwd)
             dad, dx, das = pl.pallas_call(
                 ft.partial(_bwd_fused_kernel, k_f, k_t, use_bits,
-                           negative_slope),
+                           negative_slope, jnp.float32),
                 grid=(nb_local,),
                 in_specs=[ell_spec(w_f), ell_spec(w_t)] + slabs(128)
                 + slabs(f) + slabs(f),
@@ -874,7 +874,7 @@ class DistFullBatchGraph:
 
             dad, dx, das = pl.pallas_call(
                 ft.partial(_bwd_fused_kernel_mh, k_f, k_t, use_bits,
-                           heads, fh, negative_slope),
+                           heads, fh, negative_slope, jnp.float32),
                 grid=(nb_local,),
                 in_specs=[ell_spec(w_f), ell_spec(w_t)] + slabs(128)
                 + slabs(hf) + slabs(hf),

@@ -154,6 +154,154 @@ def build_attention_slab_pair(indptr, indices, *, block_rows: int = 256,
     return AttnSlabPair(fwd=fwd, t_ell=conv(t_ell), t_bits=copt(t_bits))
 
 
+def _bwd_onepass_kernel(heads, f, sub, negative_slope, compute_dtype,
+                        bits_ref, stc_ref, as0, as1, as2, x0, x1, x2,
+                        gc_ref, dad_ref, dx_ref, das_ref):
+    """One-pass backward over the FORWARD orientation only (round 4).
+
+    The two-orientation scheme decodes two adjacencies, runs two
+    softmax reconstructions and three block matmuls per head.  But all
+    three gradients are functions of the same per-edge de_rc:
+
+        dad[r] = sum_c de_rc      (row sums    -> direct)
+        das[c] = sum_r de_rc      (COLUMN sums -> per-slab-column sums,
+                                   merged across the <=3 covering
+                                   blocks by a shifted-add epilogue)
+        dx[c]  = sum_r a_rc g[r]  (alpha^T @ g_center, written as three
+                                   R-row planes, same epilogue)
+
+    so one decode + one exp + TWO matmuls per head suffice, the
+    transpose adjacency disappears, and g is read as the center block
+    only (not a 3R slab).  The slab side needs only alpha_src, which
+    arrives PRE-TRANSPOSED (sublane h = head h, lanes = node rows) as
+    three (sub, R) column blocks — no in-kernel transpose and no
+    128-lane stats slab.  Center stats ride one (R, 128) lane block
+    (slot*H + h for slot in AD, M, S, T).  Outputs:
+      dad_ref (R, 128)        lane h = head h row sums
+      dx_ref  (R, 3*H*F)      lanes (o*H + h)*F = plane o of head h
+      das_ref (sub, 3R)       sublane h = head h column sums
+    """
+    cd = compute_dtype
+    r_blk = bits_ref.shape[0]
+    a = _decode_bits(bits_ref[...], r_blk)                        # (R, 3R)
+    slab_x = jnp.concatenate([x0[...], x1[...], x2[...]], axis=0)  # (3R, HF)
+    as_t = jnp.concatenate([as0[...], as1[...], as2[...]], axis=1)  # (sub,3R)
+    blk = stc_ref[...]
+    gc = gc_ref[...]                                              # (R, HF)
+    ns = jnp.float32(negative_slope)
+    dads, dxs, dass = [], [], []
+    for h in range(heads):
+        ad = blk[:, 0 * heads + h:0 * heads + h + 1]              # (R, 1)
+        m = blk[:, 1 * heads + h:1 * heads + h + 1]
+        s = blk[:, 2 * heads + h:2 * heads + h + 1]
+        t = blk[:, 3 * heads + h:3 * heads + h + 1]
+        as_row = as_t[h:h + 1]                                    # (1, 3R)
+        z = ad + as_row                                           # (R, 3R)
+        lr = jnp.where(z >= 0, z, ns * z)
+        alpha = jnp.where(a > 0, jnp.exp(lr - m), 0.0) / s        # (R, 3R)
+        gh = gc[:, h * f:(h + 1) * f]
+        xh = slab_x[:, h * f:(h + 1) * f]
+        gx = jax.lax.dot_general(
+            gh.astype(cd), xh.astype(cd),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                   # (R, 3R)
+        de = alpha * (gx - t) * jnp.where(z >= 0, 1.0, ns)
+        dads.append(jnp.sum(de, axis=1, keepdims=True))
+        dxs.append(jax.lax.dot_general(
+            alpha.astype(cd), gh.astype(cd),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))                  # (3R, F)
+        dass.append(jnp.sum(de, axis=0, keepdims=True))           # (1, 3R)
+    lane_pad = jnp.zeros((r_blk, 128 - heads), jnp.float32)
+    dad_ref[...] = jnp.concatenate(dads + [lane_pad], axis=1)
+    parts = [dxs[h][o * r_blk:(o + 1) * r_blk]
+             for o in range(3) for h in range(heads)]
+    dx_ref[...] = jnp.concatenate(parts, axis=1)                  # (R, 3HF)
+    das_pad = jnp.zeros((sub - heads, 3 * r_blk), jnp.float32)
+    das_ref[...] = jnp.concatenate(dass + [das_pad], axis=0)      # (sub, 3R)
+
+
+def _shift_sum_planes(planes3, r_blk, n, n_pad):
+    """Merge the three per-offset planes: plane o's padded row j holds
+    the contribution to global row j + (o-1)*R.  planes3: (n_pad, 3*W)
+    laned [o][W]; returns (n, W)."""
+    w = planes3.shape[1] // 3
+    p = jnp.pad(planes3, ((r_blk, 2 * r_blk + n - n_pad), (0, 0)))
+    return sum(p[(2 - o) * r_blk:(2 - o) * r_blk + n, o * w:(o + 1) * w]
+               for o in range(3))
+
+
+def _onepass_bwd(graph: SlabGraph, x, alpha_dst, alpha_src, m, s, t, g,
+                 *, negative_slope, compute_dtype, interpret):
+    """Band-edge gradients via the one-pass kernel.  x/g (N, H, F);
+    alpha_*/m/s/t (N, H).  Returns (dx (N,H,F), dad (N,H), das (N,H))
+    for the IN-BAND edges only (caller adds the fallback terms)."""
+    n, heads, f = x.shape
+    r_blk = graph.block_rows
+    nb = graph.n_blocks
+    n_pad = nb * r_blk
+    hf = heads * f
+    s_safe = jnp.maximum(s, 1e-16)
+
+    # Glue discipline (the bare kernel is ~5x cheaper than naive XLA
+    # prep/epilogue — benchmarks/attn_bwd_probe.py): every array lives
+    # at n_pad rows with NO +-R slab margin; slab parts use CLAMPED
+    # block indices instead (out-of-range slab rows carry neighbor-
+    # block data but their alpha is 0 — bits only mark real edges).
+    def _rows_to_npad(v):
+        v = v.astype(jnp.float32).reshape(n, -1)
+        return v if n == n_pad else jnp.pad(v, ((0, n_pad - n), (0, 0)))
+
+    # center stats, lane layout slot*H + h, built with ONE concat (the
+    # per-slot dynamic_update_slice build cost 4 full passes)
+    s_col = jnp.pad(s_safe.astype(jnp.float32).reshape(n, heads),
+                    ((0, n_pad - n), (0, 0)), constant_values=1.0)
+    st_pad = jnp.concatenate(
+        [_rows_to_npad(alpha_dst), _rows_to_npad(m), s_col,
+         _rows_to_npad(t),
+         jnp.zeros((n_pad, 128 - 4 * heads), jnp.float32)], axis=1)
+    sub = max(-(-heads // 8) * 8, 8)
+    # slab-side alpha_src, PRE-transposed: (sub, n_pad), sublane h
+    as_t = jnp.zeros((sub, n_pad), jnp.float32)
+    as_t = jax.lax.dynamic_update_slice(
+        as_t, alpha_src.astype(jnp.float32).reshape(n, heads).T, (0, 0))
+    x_pad = _rows_to_npad(x)
+    g_pad = _rows_to_npad(g)
+
+    clamp = lambda o: lambda b: (jnp.clip(b + o - 1, 0, nb - 1), 0)
+    clamp_c = lambda o: lambda b: (0, jnp.clip(b + o - 1, 0, nb - 1))
+    slab_specs = lambda width: [
+        pl.BlockSpec((r_blk, width), clamp(o)) for o in range(3)]
+    as_specs = [pl.BlockSpec((sub, r_blk), clamp_c(o)) for o in range(3)]
+    dad_b, dx3, das3 = pl.pallas_call(
+        functools.partial(_bwd_onepass_kernel, heads, f, sub,
+                          negative_slope, compute_dtype),
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((r_blk, graph.ell_bits.shape[1]),
+                               lambda b: (b, 0)),
+                  pl.BlockSpec((r_blk, 128), lambda b: (b, 0))]
+        + as_specs + slab_specs(hf)
+        + [pl.BlockSpec((r_blk, hf), lambda b: (b, 0))],
+        out_specs=[pl.BlockSpec((r_blk, 128), lambda b: (b, 0)),
+                   pl.BlockSpec((r_blk, 3 * hf), lambda b: (b, 0)),
+                   pl.BlockSpec((sub, 3 * r_blk), lambda b: (b, 0))],
+        out_shape=[jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad, 3 * hf), jnp.float32),
+                   jax.ShapeDtypeStruct((nb * sub, 3 * r_blk), jnp.float32)],
+        interpret=interpret,
+    )(graph.ell_bits, st_pad, as_t, as_t, as_t, x_pad, x_pad, x_pad,
+      g_pad)
+    dad = dad_b[:n, :heads]
+    dx = _shift_sum_planes(dx3, r_blk, n, n_pad).reshape(n, heads, f)
+    # das planes: head h's column sums live in sublane h of each
+    # (sub, 3R) block; flatten block-column o to an (n_pad, H) plane.
+    das_blocks = das3.reshape(nb, sub, 3, r_blk)[:, :heads]      # (nb,H,3,R)
+    das_planes = jnp.transpose(das_blocks, (0, 3, 2, 1)) \
+        .reshape(n_pad, 3 * heads)                               # [r][(o,h)]
+    das = _shift_sum_planes(das_planes, r_blk, n, n_pad)         # (n, H)
+    return dx, dad, das
+
+
 def _onehot_expzm(idx, z, m_row_or_col, negative_slope, k_width,
                   use_bits):
     """a[r, c] = adjacency * exp(lrelu(z) - m); adjacency decoded from
@@ -249,6 +397,16 @@ def slab_attention_bwd(pair: AttnSlabPair, x, alpha_dst, alpha_src,
         interpret = jax.default_backend() != "tpu"
     graph = pair.fwd
     n, f = x.shape
+    if graph.ell_bits is not None:
+        dx_b, dad_b, das_b = _onepass_bwd(
+            graph, x[:, None, :], alpha_dst[:, None], alpha_src[:, None],
+            m[:, None], s[:, None], t[:, None], g[:, None, :],
+            negative_slope=negative_slope, compute_dtype=compute_dtype,
+            interpret=interpret)
+        dx_b, dad_b, das_b = dx_b[:, 0], dad_b[:, 0], das_b[:, 0]
+        return _add_fallback_grads(graph, x, alpha_dst, alpha_src, m,
+                                   jnp.maximum(s, 1e-16), t, g,
+                                   negative_slope, dx_b, dad_b, das_b)
     r_blk = graph.block_rows
     nb = graph.n_blocks
     n_pad = nb * r_blk
@@ -289,7 +447,15 @@ def slab_attention_bwd(pair: AttnSlabPair, x, alpha_dst, alpha_src,
     )(adj_f, adj_t, st_pad, st_pad, st_pad,
       x_pad, x_pad, x_pad, g_pad, g_pad, g_pad)
     dad_b, dx_b, das_b = dad_b[:n, 0], dx_b[:n], das_b[:n, 0]
+    return _add_fallback_grads(graph, x, alpha_dst, alpha_src, m, s_safe,
+                               t, g, negative_slope, dx_b, dad_b, das_b)
 
+
+def _add_fallback_grads(graph, x, alpha_dst, alpha_src, m, s_safe, t, g,
+                        negative_slope, dx_b, dad_b, das_b):
+    """Add the out-of-band (segment-path) edge gradients to the band
+    kernel's (dx, dad, das).  Single-head: x/g (N, F), stats (N,)."""
+    n = x.shape[0]
     src, dst = graph.fb_src, graph.fb_dst
     if src.shape[0]:
         valid = (src >= 0) & (dst >= 0)
@@ -418,6 +584,14 @@ def slab_attention_bwd_mh(pair: AttnSlabPair, x, alpha_dst, alpha_src,
     if heads > MAX_PACKED_HEADS:
         raise ValueError(f"slab_attention_bwd_mh supports "
                          f"<={MAX_PACKED_HEADS} heads, got {heads}")
+    if graph.ell_bits is not None:
+        dx_b, dad_b, das_b = _onepass_bwd(
+            graph, x, alpha_dst, alpha_src, m, s, t, g,
+            negative_slope=negative_slope, compute_dtype=compute_dtype,
+            interpret=interpret)
+        return _add_fallback_grads_mh(graph, x, alpha_dst, alpha_src, m,
+                                      jnp.maximum(s, 1e-16), t, g,
+                                      negative_slope, dx_b, dad_b, das_b)
     r_blk = graph.block_rows
     nb = graph.n_blocks
     n_pad = nb * r_blk
@@ -467,7 +641,15 @@ def slab_attention_bwd_mh(pair: AttnSlabPair, x, alpha_dst, alpha_src,
     dad_b = dad_b[:n, :heads]
     dx_b = dx_b[:n].reshape(n, heads, f)
     das_b = das_b[:n, :heads]
+    return _add_fallback_grads_mh(graph, x, alpha_dst, alpha_src, m,
+                                  s_safe, t, g, negative_slope,
+                                  dx_b, dad_b, das_b)
 
+
+def _add_fallback_grads_mh(graph, x, alpha_dst, alpha_src, m, s_safe, t,
+                           g, negative_slope, dx_b, dad_b, das_b):
+    """Multi-head fallback-edge gradients: x/g (N, H, F), stats (N, H)."""
+    n = x.shape[0]
     src, dst = graph.fb_src, graph.fb_dst
     if src.shape[0]:
         valid = (src >= 0) & (dst >= 0)

@@ -219,14 +219,17 @@ def slab_spmm(graph: SlabGraph, x, reduce: str = "sum", *,
     r_blk = graph.block_rows
     nb = graph.n_blocks
     n_pad = nb * r_blk
-    # front R zeros + body + back pad + R zeros: slab of block b starts
-    # at padded row b*R (= global row b*R - R).
-    x_pad = jnp.zeros((n_pad + 2 * r_blk, f), x.dtype)
-    x_pad = jax.lax.dynamic_update_slice(x_pad, x, (r_blk, 0))
+    # x at n_pad rows, no +-R slab margin: slab parts use CLAMPED block
+    # indices — out-of-range slab rows carry neighbor-block data but no
+    # ELL entry / adjacency bit ever references them (|col-row| <= R
+    # and cols in [0, n)), so their coefficient is 0.  Saves a full
+    # (N, F) copy per call (round-4 glue discipline).
+    x_pad = x if n == n_pad else jnp.pad(x, ((0, n_pad - n), (0, 0)))
 
     weighted = graph.ell_w is not None
     x_specs = [
-        pl.BlockSpec((r_blk, f), lambda b, o=o: (b + o, 0))
+        pl.BlockSpec((r_blk, f),
+                     lambda b, o=o: (jnp.clip(b + o - 1, 0, nb - 1), 0))
         for o in range(3)
     ]
     if not weighted and graph.ell_bits is not None:
@@ -287,6 +290,10 @@ def _slab_attn_kernel(k_width: int, use_bits: bool, negative_slope: float,
                       compute_dtype,
                       ell_ref, ad_ref, as0, as1, as2, x0, x1, x2,
                       u_ref, m_ref, s_ref):
+    """Single-head fused attention forward over lane-replicated stats
+    slabs — retained for the SHARDED path (ops/dist_full_batch.py),
+    whose halo exchange produces this layout.  The single-chip product
+    path uses :func:`_slab_attn_fwd_kernel` (round-4 glue layout)."""
     r_blk = ad_ref.shape[0]
     slab = jnp.concatenate([x0[...], x1[...], x2[...]], axis=0)   # (3R, F)
     a_s = jnp.concatenate([as0[...], as1[...], as2[...]], axis=0)  # (3R, 128)
@@ -314,10 +321,9 @@ def _slab_attn_mh_kernel(k_width: int, use_bits: bool, heads: int, f: int,
                          negative_slope: float, compute_dtype,
                          ell_ref, ad_ref, as0, as1, as2, x0, x1, x2,
                          u_ref, m_ref, s_ref):
-    """Multi-head variant: the adjacency (the VPU-expensive part) is
-    built ONCE per block — from the bit-packed planes when available —
-    and reused by every head; per-head scores/stats live in lanes of
-    128-lane packed arrays."""
+    """Multi-head forward over lane-replicated stats slabs — retained
+    for the SHARDED path (ops/dist_full_batch.py).  The single-chip
+    product path uses :func:`_slab_attn_fwd_kernel`."""
     r_blk = ad_ref.shape[0]
     slab = jnp.concatenate([x0[...], x1[...], x2[...]], axis=0)   # (3R, H*F)
     a_s = jnp.concatenate([as0[...], as1[...], as2[...]], axis=0)  # (3R, 128)
@@ -346,6 +352,44 @@ def _slab_attn_mh_kernel(k_width: int, use_bits: bool, heads: int, f: int,
     s_ref[...] = jnp.concatenate(ss + [pad], axis=1)
 
 
+def _slab_attn_fwd_kernel(k_width: int, use_bits: bool, heads: int, f: int,
+                          negative_slope: float, compute_dtype,
+                          ell_ref, ad_ref, as0, as1, as2, x0, x1, x2,
+                          u_ref, ms_ref):
+    """Multi-head fused attention forward: the adjacency (the VPU-
+    expensive part) is built ONCE per block — from the bit-packed
+    planes when available — and reused by every head.  alpha_src
+    arrives PRE-TRANSPOSED as three (sub, R) column blocks (sublane h =
+    head h) — no in-kernel (3R, 128) transpose and ~16x less stats DMA
+    (round-4 glue discipline).  Softmax stats pack into ONE output:
+    ms_ref (R, 128) lanes [0, H) = m, [64, 64 + H) = s (H <= 64)."""
+    r_blk = ad_ref.shape[0]
+    slab = jnp.concatenate([x0[...], x1[...], x2[...]], axis=0)   # (3R, H*F)
+    as_t = jnp.concatenate([as0[...], as1[...], as2[...]], axis=1)  # (sub,3R)
+    ad = ad_ref[...]                                     # (R, 128) lane h
+    cnt = _attn_cnt(ell_ref[...], r_blk, k_width, use_bits)
+    has_edge = cnt > 0
+    ninf = jnp.float32(-jnp.inf)
+    us, ms, ss = [], [], []
+    for h in range(heads):
+        e = ad[:, h:h + 1] + as_t[h:h + 1]               # (R, 3R)
+        e = jnp.where(e >= 0, e, jnp.float32(negative_slope) * e)
+        e = jnp.where(has_edge, e, ninf)
+        m = jnp.max(e, axis=1, keepdims=True)            # (R, 1)
+        m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+        p = jnp.where(has_edge, cnt * jnp.exp(e - m_safe), 0.0)
+        ss.append(jnp.sum(p, axis=1, keepdims=True))
+        ms.append(m_safe)
+        us.append(jnp.dot(
+            p.astype(compute_dtype),
+            slab[:, h * f:(h + 1) * f].astype(compute_dtype),
+            preferred_element_type=jnp.float32))
+    u_ref[...] = jnp.concatenate(us, axis=1)
+    pad_m = jnp.zeros((r_blk, 64 - heads), jnp.float32)
+    pad_s = jnp.zeros((r_blk, 64 - heads), jnp.float32)
+    ms_ref[...] = jnp.concatenate(ms + [pad_m] + ss + [pad_s], axis=1)
+
+
 def slab_attention_spmm_mh(graph: SlabGraph, x, alpha_dst, alpha_src, *,
                            negative_slope: float = 0.2,
                            compute_dtype=jnp.float32,
@@ -355,53 +399,61 @@ def slab_attention_spmm_mh(graph: SlabGraph, x, alpha_dst, alpha_src, *,
     pass (adjacency reconstruction amortized across heads, single
     dispatch).  x: (N, H, F); alpha_dst/alpha_src: (N, H).  Returns
     (N, H, F) f32 (+ per-head merged softmax stats (m, s), each (N, H),
-    with ``return_stats``).  H <= 128."""
+    with ``return_stats``).  H <= 64 (packed stats output; callers
+    with more heads chunk — ops/full_batch.py head groups)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, heads, f = x.shape
-    if heads > 128:
-        raise ValueError(f"slab_attention_spmm_mh supports <=128 heads, "
+    if heads > 64:
+        raise ValueError(f"slab_attention_spmm_mh supports <=64 heads, "
                          f"got {heads}")
     r_blk = graph.block_rows
     nb = graph.n_blocks
     n_pad = nb * r_blk
-    x2 = x.reshape(n, heads * f)
-    x_pad = jnp.zeros((n_pad + 2 * r_blk, heads * f), x.dtype)
-    x_pad = jax.lax.dynamic_update_slice(x_pad, x2, (r_blk, 0))
     ninf = jnp.float32(-jnp.inf)
-    as_pad = jnp.full((n_pad + 2 * r_blk, 128), ninf, jnp.float32)
-    as_pad = jax.lax.dynamic_update_slice(
-        as_pad, alpha_src.astype(jnp.float32), (r_blk, 0))
-    ad_pad = jnp.zeros((n_pad, 128), jnp.float32)
-    ad_pad = jax.lax.dynamic_update_slice(
-        ad_pad, alpha_dst.astype(jnp.float32), (0, 0))
+
+    # round-4 glue discipline (see slab_attn_grad._onepass_bwd): all
+    # arrays at n_pad rows, NO +-R slab margin — slab parts use CLAMPED
+    # block indices (out-of-range slab rows are masked by the
+    # adjacency); alpha_src rides pre-transposed (sub, n_pad); center
+    # alpha_dst is one lane-layout block; m/s pack into one output.
+    def _rows_to_npad(v):
+        v = v.astype(jnp.float32).reshape(n, -1)
+        return v if n == n_pad else jnp.pad(v, ((0, n_pad - n), (0, 0)))
+
+    x_pad = _rows_to_npad(x).astype(x.dtype)
+    ad_pad = jnp.concatenate(
+        [_rows_to_npad(alpha_dst),
+         jnp.zeros((n_pad, 128 - heads), jnp.float32)], axis=1)
+    sub = max(-(-heads // 8) * 8, 8)
+    as_t = jnp.zeros((sub, n_pad), jnp.float32)
+    as_t = jax.lax.dynamic_update_slice(
+        as_t, alpha_src.astype(jnp.float32).reshape(n, heads).T, (0, 0))
 
     k_w = graph.ell.shape[1]
     use_bits = graph.ell_bits is not None
     adj = graph.ell_bits if use_bits else graph.ell
-    kern = functools.partial(_slab_attn_mh_kernel, k_w, use_bits, heads, f,
-                             negative_slope, compute_dtype)
+    kern = functools.partial(_slab_attn_fwd_kernel, k_w, use_bits, heads,
+                             f, negative_slope, compute_dtype)
     hf = heads * f
+    clamp = lambda o: lambda b: (jnp.clip(b + o - 1, 0, nb - 1), 0)
+    clamp_c = lambda o: lambda b: (0, jnp.clip(b + o - 1, 0, nb - 1))
     ell_spec = pl.BlockSpec((r_blk, adj.shape[1]), lambda b: (b, 0))
     ad_spec = pl.BlockSpec((r_blk, 128), lambda b: (b, 0))
-    as_specs = [pl.BlockSpec((r_blk, 128), lambda b, o=o: (b + o, 0))
-                for o in range(3)]
-    x_specs = [pl.BlockSpec((r_blk, hf), lambda b, o=o: (b + o, 0))
-               for o in range(3)]
-    u, m_b, s_b = pl.pallas_call(
+    as_specs = [pl.BlockSpec((sub, r_blk), clamp_c(o)) for o in range(3)]
+    x_specs = [pl.BlockSpec((r_blk, hf), clamp(o)) for o in range(3)]
+    u, ms_b = pl.pallas_call(
         kern,
         grid=(nb,),
         in_specs=[ell_spec, ad_spec] + as_specs + x_specs,
         out_specs=[pl.BlockSpec((r_blk, hf), lambda b: (b, 0)),
-                   pl.BlockSpec((r_blk, 128), lambda b: (b, 0)),
                    pl.BlockSpec((r_blk, 128), lambda b: (b, 0))],
         out_shape=[jax.ShapeDtypeStruct((n_pad, hf), jnp.float32),
-                   jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
                    jax.ShapeDtypeStruct((n_pad, 128), jnp.float32)],
         interpret=interpret,
-    )(adj, ad_pad, as_pad, as_pad, as_pad, x_pad, x_pad, x_pad)
+    )(adj, ad_pad, as_t, as_t, as_t, x_pad, x_pad, x_pad)
     u = u[:n].reshape(n, heads, f)
-    m_b, s_b = m_b[:n, :heads], s_b[:n, :heads]
+    m_b, s_b = ms_b[:n, :heads], ms_b[:n, 64:64 + heads]
     m_out = m_b
 
     src, dst = graph.fb_src, graph.fb_dst
@@ -452,77 +504,15 @@ def slab_attention_spmm(graph: SlabGraph, x, alpha_dst, alpha_src, *,
     stats (m, s) per row — the residuals the backward pass
     (ops/pallas/slab_attn_grad.py) needs to reconstruct per-edge
     attention from per-node scalars.
+
+    Implemented as the H=1 case of the multi-head kernel (one shared
+    glue-optimized path; round 4).
     """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    n, f = x.shape
-    r_blk = graph.block_rows
-    nb = graph.n_blocks
-    n_pad = nb * r_blk
-    x_pad = jnp.zeros((n_pad + 2 * r_blk, f), x.dtype)
-    x_pad = jax.lax.dynamic_update_slice(x_pad, x, (r_blk, 0))
-    ninf = jnp.float32(-jnp.inf)
-    as_pad = jnp.full((n_pad + 2 * r_blk, 128), ninf, jnp.float32)
-    as_pad = jax.lax.dynamic_update_slice(
-        as_pad, jnp.broadcast_to(
-            alpha_src.astype(jnp.float32)[:, None], (n, 128)), (r_blk, 0))
-    ad_pad = jnp.zeros((n_pad, 128), jnp.float32)
-    ad_pad = jax.lax.dynamic_update_slice(
-        ad_pad, jnp.broadcast_to(
-            alpha_dst.astype(jnp.float32)[:, None], (n, 128)), (0, 0))
-
-    k_w = graph.ell.shape[1]
-    use_bits = graph.ell_bits is not None
-    adj = graph.ell_bits if use_bits else graph.ell
-    kern = functools.partial(_slab_attn_kernel, k_w, use_bits,
-                             negative_slope, compute_dtype)
-    ell_spec = pl.BlockSpec((r_blk, adj.shape[1]), lambda b: (b, 0))
-    ad_spec = pl.BlockSpec((r_blk, 128), lambda b: (b, 0))
-    as_specs = [pl.BlockSpec((r_blk, 128), lambda b, o=o: (b + o, 0))
-                for o in range(3)]
-    x_specs = [pl.BlockSpec((r_blk, f), lambda b, o=o: (b + o, 0))
-               for o in range(3)]
-    u, m_b, s_b = pl.pallas_call(
-        kern,
-        grid=(nb,),
-        in_specs=[ell_spec, ad_spec] + as_specs + x_specs,
-        out_specs=[pl.BlockSpec((r_blk, f), lambda b: (b, 0)),
-                   pl.BlockSpec((r_blk, 128), lambda b: (b, 0)),
-                   pl.BlockSpec((r_blk, 128), lambda b: (b, 0))],
-        out_shape=[jax.ShapeDtypeStruct((n_pad, f), jnp.float32),
-                   jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
-                   jax.ShapeDtypeStruct((n_pad, 128), jnp.float32)],
-        interpret=interpret,
-    )(adj, ad_pad, as_pad, as_pad, as_pad, x_pad, x_pad, x_pad)
-    u, m_b, s_b = u[:n], m_b[:n, 0], s_b[:n, 0]
-    # band rows with no in-band edge: m_b = 0, s_b = 0 (handled by merge)
-    m_out = m_b
-
-    src, dst = graph.fb_src, graph.fb_dst
-    if src.shape[0]:
-        valid = (src >= 0) & (dst >= 0)
-        sv = jnp.where(valid, src, 0)
-        dv = jnp.where(valid, dst, n)
-        e_fb = alpha_dst.astype(jnp.float32)[jnp.where(valid, dst, 0)] \
-            + alpha_src.astype(jnp.float32)[sv]
-        e_fb = jnp.where(e_fb >= 0, e_fb, jnp.float32(negative_slope) * e_fb)
-        e_fb = jnp.where(valid, e_fb, ninf)
-        m_f_seg = jax.ops.segment_max(e_fb, dv, num_segments=n + 1)[:n]
-        m_f = jnp.where(jnp.isfinite(m_f_seg), m_f_seg, 0.0)
-        p_fb = jnp.where(valid, jnp.exp(e_fb - m_f[jnp.where(valid, dst, 0)]),
-                         0.0)
-        s_f = jax.ops.segment_sum(p_fb, dv, num_segments=n + 1)[:n]
-        u_f = jax.ops.segment_sum(
-            p_fb[:, None] * x.astype(jnp.float32)[sv], dv,
-            num_segments=n + 1)[:n]
-        # log-sum-exp merge of (m_b, s_b, u) and (m_f, s_f, u_f)
-        m = jnp.maximum(m_b, m_f)
-        wb = jnp.where(s_b > 0, jnp.exp(m_b - m), 0.0)
-        wf = jnp.where(s_f > 0, jnp.exp(m_f - m), 0.0)
-        u = u * wb[:, None] + u_f * wf[:, None]
-        s_b = s_b * wb + s_f * wf
-        m_out = m
-    out = u / jnp.maximum(s_b, 1e-16)[:, None]
+    res = slab_attention_spmm_mh(
+        graph, x[:, None, :], alpha_dst[:, None], alpha_src[:, None],
+        negative_slope=negative_slope, compute_dtype=compute_dtype,
+        interpret=interpret, return_stats=return_stats)
     if return_stats:
-        return out, m_out, s_b
-    return out
+        out, m, s = res
+        return out[:, 0], m[:, 0], s[:, 0]
+    return res[:, 0]

@@ -154,7 +154,9 @@ def test_gcn_sampled_deg_aware_matches_full(g):
     indptr, indices, _ = build_csr(dst.astype(np.int64),
                                    src.astype(np.int64), n)
     deg_in = (indptr[1:] - indptr[:-1]).astype(np.float32)
-    deg_hat = deg_in + 1.0  # add_self_loops=True degree
+    # RAW in-degrees: the conv applies the add_self_loops increment
+    # internally (convention changed with the deg-aware plumbing fix)
+    deg_hat = deg_in
 
     max_deg = int(deg_in.max())
     sampler = NeighborSampler(jnp.asarray(indptr, jnp.int32),

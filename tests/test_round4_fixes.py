@@ -401,3 +401,59 @@ def test_hetero_local_loader_matches_global(cpu_mesh):
             assert np.allclose(np.asarray(bA.x[nt]), np.asarray(bB.x[nt]))
         n_batches += 1
     assert n_batches > 0
+
+
+def test_attn_bwd_no_bits_two_orient_path():
+    """block_rows > 341 disables the bit-packed planes (3R > 1024), so
+    the backward falls to the retained two-orientation kernel — its
+    gradients must still match autodiff of the segment reference (the
+    default tests now exercise only the one-pass bits route)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cugraph_gnn_tpu.native import build_csr
+    from cugraph_gnn_tpu.ops.pallas.slab_attn_grad import (
+        build_attention_slab_pair, differentiable_slab_attention)
+    from tests.test_slab_attn_grad import _ref_attention
+    from tests.test_slab_spmm import make_graph
+
+    rng = np.random.default_rng(44)
+    n = 2 * 384
+    src, dst = make_graph(n, 4, 200, rng)
+    indptr, indices, _ = build_csr(dst, src, n)
+    pair = build_attention_slab_pair(indptr, indices, block_rows=384,
+                                     max_k=16)
+    assert pair.fwd.ell_bits is None and pair.t_bits is None
+    x = jnp.asarray(rng.standard_normal((n, 32)).astype(np.float32))
+    a_d = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    a_s = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((n, 32)).astype(np.float32))
+
+    fn = differentiable_slab_attention(pair)
+    ref = _ref_attention(indptr, indices)
+    loss = lambda h: lambda *args: jnp.sum(h(*args) * g)
+    got = jax.grad(loss(fn), argnums=(0, 1, 2))(x, a_d, a_s)
+    want = jax.grad(loss(ref), argnums=(0, 1, 2))(x, a_d, a_s)
+    for gi, wi, name in zip(got, want, ("dx", "dalpha_dst", "dalpha_src")):
+        np.testing.assert_allclose(np.asarray(gi), np.asarray(wi),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_attn_fwd_mh_head_cap_64():
+    """Packed m/s stats output caps the mh forward at 64 heads."""
+    import jax.numpy as jnp
+    import pytest
+
+    from cugraph_gnn_tpu.native import build_csr
+    from cugraph_gnn_tpu.ops.pallas.slab_kernel import (
+        build_slab_graph, slab_attention_spmm_mh)
+    from tests.test_slab_spmm import make_graph
+
+    rng = np.random.default_rng(45)
+    n = 128
+    src, dst = make_graph(n, 3, 20, rng)
+    indptr, indices, _ = build_csr(dst, src, n)
+    g = build_slab_graph(indptr, indices, block_rows=128)
+    z = jnp.zeros
+    with pytest.raises(ValueError, match="heads"):
+        slab_attention_spmm_mh(g, z((n, 65, 2)), z((n, 65)), z((n, 65)))
