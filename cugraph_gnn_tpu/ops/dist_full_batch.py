@@ -98,6 +98,26 @@ def _halo_exchange(x_local, r_blk: int, axis: str, world: int):
     return jnp.concatenate([halo_prev, x_local, halo_next], axis=0)
 
 
+def _halo_reduce(c_ext, r_blk: int, axis: str, world: int):
+    """Inverse of :func:`_halo_exchange` for ACCUMULATION: ``c_ext``
+    (rs + 2R, W) holds [contributions to the prev shard's last R rows |
+    local rows | contributions to the next shard's first R rows]; the
+    margins ride one ppermute each way and are added to the owning
+    shard's edge rows.  Boundary shards' outward margins vanish
+    (un-sourced ppermute default = zeros received; the global graph
+    never references rows beyond its ends, so their outgoing margins
+    are zero anyway)."""
+    top = c_ext[:r_blk]
+    bot = c_ext[-r_blk:]
+    from_next = jax.lax.ppermute(
+        top, axis, [(w, w - 1) for w in range(1, world)])
+    from_prev = jax.lax.ppermute(
+        bot, axis, [(w, w + 1) for w in range(world - 1)])
+    body = c_ext[r_blk:-r_blk]
+    body = body.at[-r_blk:].add(from_next)
+    return body.at[:r_blk].add(from_prev)
+
+
 def _shard_spmm_body(ell_local, x_local, fb_src, fb_dst, ell_w=None,
                      fb_w=None, *, r_blk: int, k_width: int, world: int,
                      axis: str, book, compute_dtype, interpret: bool,
@@ -574,6 +594,139 @@ class DistFullBatchGraph:
             out_specs=(p, p, p), check_vma=False,
         )(adj, x, alpha_dst, alpha_src, fb_src, fb_dst)
 
+    def _attn_bwd_sharded_onepass(self, x2, alpha_dst, alpha_src, m, s,
+                                  t, g2, heads, fh, negative_slope):
+        """One-pass sharded backward (round 4): single orientation over
+        the forward bit-packed adjacency — dad = row sums, das = column
+        sums, dx = alpha^T @ g_center, with the das/dx slab-margin
+        contributions returned to their owning neighbor shards by ONE
+        reverse-halo ppermute pair (replaces the transpose-band kernel,
+        its t_bits structure, AND the g halo exchange).  x2/g2
+        (N_pad, H*F) row-sharded; stats (N_pad, H).  Requires
+        ``ell_bits`` (see slab_attn_grad._onepass_bwd for the scheme).
+        """
+        st = self._attn_structs()
+        interpret = jax.default_backend() != "tpu"
+        r_blk, world, axis, book = (self._r_blk, self._world, self.axis,
+                                    self._book)
+        bits = st["bits"]
+        fb_src_l, fb_dst_g = st["fb_src_bucketed"]
+        hf = heads * fh
+
+        def body(bits_l, x_l, ad_l, as_l, m_l, s_l, t_l, g_l, fb_s,
+                 fb_d):
+            import functools as ft
+
+            from jax.experimental import pallas as pl
+
+            from cugraph_gnn_tpu.ops.pallas.slab_attn_grad import (
+                _bwd_onepass_kernel)
+
+            rs = x_l.shape[0]
+            nb_local = rs // r_blk
+            s_safe = jnp.maximum(s_l, 1e-16)
+            # center stats (rs, 128), lane layout slot*H + h — LOCAL
+            # rows only (the one-pass scheme needs no stats slab)
+            stc = jnp.concatenate(
+                [v.astype(jnp.float32) for v in (ad_l, m_l, s_safe, t_l)]
+                + [jnp.zeros((rs, 128 - 4 * heads), jnp.float32)], axis=1)
+            # slab-side alpha_src: halo-exchange (rs + 2R, H), then
+            # pre-transpose to (sub, rs + 2R) column blocks
+            sub = max(-(-heads // 8) * 8, 8)
+            as_e = _halo_exchange(as_l.astype(jnp.float32), r_blk, axis,
+                                  world)
+            as_t = jnp.zeros((sub, rs + 2 * r_blk), jnp.float32)
+            as_t = jax.lax.dynamic_update_slice(as_t, as_e.T, (0, 0))
+            x_ext = _halo_exchange(x_l.astype(jnp.float32), r_blk, axis,
+                                   world)
+
+            blk = lambda w: pl.BlockSpec((r_blk, w), lambda b: (b, 0))
+            slabs = lambda w: [
+                pl.BlockSpec((r_blk, w), lambda b, o=o: (b + o, 0))
+                for o in range(3)]
+            as_specs = [pl.BlockSpec((sub, r_blk),
+                                     lambda b, o=o: (0, b + o))
+                        for o in range(3)]
+            dad_b, dx3, das3 = pl.pallas_call(
+                ft.partial(_bwd_onepass_kernel, heads, fh, sub,
+                           negative_slope, jnp.float32),
+                grid=(nb_local,),
+                in_specs=[blk(128), blk(128)] + as_specs + slabs(hf)
+                + [blk(hf)],
+                out_specs=[blk(128), blk(3 * hf),
+                           pl.BlockSpec((sub, 3 * r_blk),
+                                        lambda b: (b, 0))],
+                out_shape=[
+                    jax.ShapeDtypeStruct((rs, 128), jnp.float32),
+                    jax.ShapeDtypeStruct((rs, 3 * hf), jnp.float32),
+                    jax.ShapeDtypeStruct((nb_local * sub, 3 * r_blk),
+                                         jnp.float32)],
+                interpret=interpret,
+            )(bits_l, stc, as_t, as_t, as_t, x_ext, x_ext, x_ext,
+              g_l.astype(jnp.float32))
+            dad = dad_b[:, :heads]
+
+            # plane o's local row j contributes to local row j+(o-1)R;
+            # assemble over the extended range, reverse-halo the
+            # margins back to their owners (dx and das ride together)
+            def ext_sum(p3, w):
+                parts = [p3[:, o * w:(o + 1) * w] for o in range(3)]
+                return (jnp.pad(parts[0], ((0, 2 * r_blk), (0, 0)))
+                        + jnp.pad(parts[1], ((r_blk, r_blk), (0, 0)))
+                        + jnp.pad(parts[2], ((2 * r_blk, 0), (0, 0))))
+
+            das_blocks = das3.reshape(
+                nb_local, sub, 3, r_blk)[:, :heads]        # (nb, H, 3, R)
+            das_p3 = jnp.transpose(das_blocks, (0, 3, 2, 1)) \
+                .reshape(rs, 3 * heads)                    # [r][(o, h)]
+            c_ext = jnp.concatenate(
+                [ext_sum(dx3, hf), ext_sum(das_p3, heads)], axis=1)
+            c = _halo_reduce(c_ext, r_blk, axis, world)
+            dx, das = c[:, :hf], c[:, hf:]
+
+            if fb_s.shape[0]:
+                gq_local = jnp.concatenate(
+                    [g_l.astype(jnp.float32),
+                     ad_l.astype(jnp.float32), m_l, s_safe, t_l], axis=1)
+                gq = _dist_gather_shard(gq_local, fb_d, book=book,
+                                        axis=axis, fill=0)
+                g_d = gq[:, :hf].reshape(-1, heads, fh)
+                ad_d = gq[:, hf:hf + heads]
+                m_d = gq[:, hf + heads:hf + 2 * heads]
+                s_d = gq[:, hf + 2 * heads:hf + 3 * heads]
+                t_d = gq[:, hf + 3 * heads:hf + 4 * heads]
+                valid = (fb_s >= 0) & (fb_d >= 0)
+                sv = jnp.where(valid, fb_s, 0)
+                seg_s = jnp.where(valid, fb_s, rs)
+                as32 = as_l.astype(jnp.float32)
+                z = ad_d + as32[sv]                          # (cap, H)
+                lr = jnp.where(z >= 0, z,
+                               jnp.float32(negative_slope) * z)
+                a_e = jnp.where(valid[:, None],
+                                jnp.exp(lr - m_d)
+                                / jnp.maximum(s_d, 1e-16), 0.0)
+                x_s = x_l.astype(jnp.float32).reshape(
+                    rs, heads, fh)[sv]                       # (cap, H, F)
+                gx = jnp.sum(g_d * x_s, axis=-1)             # (cap, H)
+                dz = jnp.where(z >= 0, 1.0,
+                               jnp.float32(negative_slope))
+                de = a_e * (gx - t_d) * dz
+                dx = dx + jax.ops.segment_sum(
+                    (a_e[..., None] * g_d).reshape(-1, hf), seg_s,
+                    num_segments=rs + 1)[:rs]
+                das = das + jax.ops.segment_sum(
+                    de, seg_s, num_segments=rs + 1)[:rs]
+                dad = _dist_scatter_shard(
+                    dad, fb_d, de, book=book, axis=axis, mode="add")
+            return dx, dad, das
+
+        p = P(self.axis)
+        return jax.shard_map(
+            body, mesh=self.mesh, in_specs=(p,) * 10,
+            out_specs=(p, p, p), check_vma=False,
+        )(bits, x2, alpha_dst, alpha_src, m, s, t, g2,
+          fb_src_l, fb_dst_g)
+
     def _attn_bwd_sharded(self, x, alpha_dst, alpha_src, m, s, t, g,
                           negative_slope):
         """Sharded backward: band gradients via the dst/transpose-src
@@ -581,6 +734,11 @@ class DistFullBatchGraph:
         a src-bucketed edge list (remote dst stats + g gathered, dad
         scattered back to dst shards)."""
         st = self._attn_structs()
+        if st["bits"] is not None:
+            dx, dad, das = self._attn_bwd_sharded_onepass(
+                x, alpha_dst[:, None], alpha_src[:, None], m[:, None],
+                s[:, None], t[:, None], g, 1, x.shape[1], negative_slope)
+            return dx, dad[:, 0], das[:, 0]
         interpret = jax.default_backend() != "tpu"
         r_blk, world, axis, book = (self._r_blk, self._world, self.axis,
                                     self._book)
@@ -821,6 +979,10 @@ class DistFullBatchGraph:
         (slot*H + h), single halo round, fused kernels over all heads;
         src-bucketed fallback with remote dst quantities."""
         st = self._attn_structs()
+        if st["bits"] is not None:
+            return self._attn_bwd_sharded_onepass(
+                x2, alpha_dst, alpha_src, m, s, t, g2, heads, fh,
+                negative_slope)
         interpret = jax.default_backend() != "tpu"
         r_blk, world, axis, book = (self._r_blk, self._world, self.axis,
                                     self._book)

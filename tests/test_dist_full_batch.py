@@ -327,3 +327,50 @@ def test_dist_attention_mh_head_chunking(mesh):
             xs[:, hh], ads[:, hh], ass[:, hh]))
         np.testing.assert_allclose(out_mh[:, hh], want, rtol=2e-4,
                                    atol=2e-4, err_msg=f"fwd head {hh}")
+
+
+def test_dist_attention_grads_no_bits_path(mesh):
+    """block_rows > 341 disables the bit-packed planes, so the sharded
+    backward falls to the retained two-orientation kernels — still must
+    match autodiff of the segment reference (the default tests now
+    exercise only the one-pass reverse-halo route)."""
+    rng = np.random.default_rng(31)
+    n, f = 8 * 384, 8
+    src, dst = make_graph(n, 3, 120, rng, frac_far=0.15)
+    indptr, indices, _ = build_csr(dst, src, n)
+    dfbg = DistFullBatchGraph(indptr, indices, mesh, reorder="none",
+                              block_rows=384)
+    assert dfbg._attn_structs()["bits"] is None
+    x = rng.standard_normal((n, f)).astype(np.float32)
+    a_d = rng.standard_normal(n).astype(np.float32)
+    a_s = rng.standard_normal(n).astype(np.float32)
+    g = rng.standard_normal((n, f)).astype(np.float32)
+    g_pad = dfbg.shard(g)
+
+    def loss_d(xs, ad, asx):
+        return jnp.sum(dfbg.attention_spmm(xs, ad, asx) * g_pad)
+
+    got = jax.grad(loss_d, argnums=(0, 1, 2))(
+        dfbg.shard(x), dfbg.shard(a_d), dfbg.shard(a_s))
+
+    rows = jnp.asarray(np.repeat(np.arange(n), np.diff(indptr)), jnp.int32)
+    cols = jnp.asarray(indices, jnp.int32)
+
+    def ref(x, ad, asx):
+        e = ad[rows] + asx[cols]
+        e = jnp.where(e >= 0, e, 0.2 * e)
+        m = jax.ops.segment_max(e, rows, num_segments=n)
+        m = jnp.where(jnp.isfinite(m), m, 0.0)
+        p = jnp.exp(e - m[rows])
+        s = jax.ops.segment_sum(p, rows, num_segments=n)
+        u = jax.ops.segment_sum(p[:, None] * x[cols], rows, num_segments=n)
+        return u / jnp.maximum(s, 1e-16)[:, None]
+
+    def loss_s(x, ad, asx):
+        return jnp.sum(ref(x, ad, asx) * jnp.asarray(g))
+
+    want = jax.grad(loss_s, argnums=(0, 1, 2))(
+        jnp.asarray(x), jnp.asarray(a_d), jnp.asarray(a_s))
+    for gi, wi, name in zip(got, want, ("dx", "dalpha_dst", "dalpha_src")):
+        np.testing.assert_allclose(dfbg.unshard(gi), np.asarray(wi),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
