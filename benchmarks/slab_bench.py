@@ -1,6 +1,13 @@
 """Slab SpMM TPU bench at products scale: banded graph (the RCM-ordered
 real-graph case), vs the ELL composite and the segment path.
 
+SUPERSEDED for kernel numbers by benchmarks/slab_chain_bench.py: this
+harness scans a loop-invariant body, and XLA HOISTS a bare pallas_call
+out of such a scan (the round-4 glue-less kernels "measured" 4.8 TB/s
+here).  Numbers from this file are only honest for paths with enough
+XLA glue to block hoisting (the round-2/3 kernels were; see
+PERF_NOTES.md round-4 notes).
+
     timeout 580 python -m benchmarks.slab_bench
 """
 

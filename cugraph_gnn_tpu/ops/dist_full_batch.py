@@ -521,40 +521,40 @@ class DistFullBatchGraph:
             from jax.experimental import pallas as pl
 
             from cugraph_gnn_tpu.ops.pallas.slab_kernel import (
-                _slab_attn_kernel)
+                _slab_attn_fwd_kernel)
 
             rs, f = x_local.shape
             nb_local = rs // r_blk
             x_ext = _halo_exchange(x_local, r_blk, axis, world)
-            # exchange the (rs,) scalars, lane-replicate AFTER the
-            # ppermute (128x less ICI volume than exchanging the
-            # broadcast array)
+            # exchange the (rs,) scalars, then PRE-TRANSPOSE to (8,
+            # rs + 2R) column blocks (round-4 glue layout: ~16x less
+            # stats DMA than lane-replication, no in-kernel transpose)
             as_e = _halo_exchange(as_local.astype(jnp.float32), r_blk,
                                   axis, world)
-            as_ext = jnp.broadcast_to(as_e[:, None],
-                                      (rs + 2 * r_blk, 128))
-            ad_l = jnp.broadcast_to(
-                ad_local.astype(jnp.float32)[:, None], (rs, 128))
-            kern = ft.partial(_slab_attn_kernel, k_w, use_bits,
+            as_t = jnp.zeros((8, rs + 2 * r_blk), jnp.float32)
+            as_t = jax.lax.dynamic_update_slice(as_t, as_e[None], (0, 0))
+            ad_l = jnp.concatenate(
+                [ad_local.astype(jnp.float32)[:, None],
+                 jnp.zeros((rs, 127), jnp.float32)], axis=1)
+            kern = ft.partial(_slab_attn_fwd_kernel, k_w, use_bits, 1, f,
                               negative_slope, jnp.float32)
-            sl = [pl.BlockSpec((r_blk, 128), lambda b, o=o: (b + o, 0))
-                  for o in range(3)]
+            as_specs = [pl.BlockSpec((8, r_blk),
+                                     lambda b, o=o: (0, b + o))
+                        for o in range(3)]
             xl = [pl.BlockSpec((r_blk, f), lambda b, o=o: (b + o, 0))
                   for o in range(3)]
-            u, m_b, s_b = pl.pallas_call(
+            u, ms_b = pl.pallas_call(
                 kern, grid=(nb_local,),
                 in_specs=[pl.BlockSpec((r_blk, adj_w), lambda b: (b, 0)),
                           pl.BlockSpec((r_blk, 128), lambda b: (b, 0))]
-                + sl + xl,
+                + as_specs + xl,
                 out_specs=[pl.BlockSpec((r_blk, f), lambda b: (b, 0)),
-                           pl.BlockSpec((r_blk, 128), lambda b: (b, 0)),
                            pl.BlockSpec((r_blk, 128), lambda b: (b, 0))],
                 out_shape=[jax.ShapeDtypeStruct((rs, f), jnp.float32),
-                           jax.ShapeDtypeStruct((rs, 128), jnp.float32),
                            jax.ShapeDtypeStruct((rs, 128), jnp.float32)],
                 interpret=interpret,
-            )(ell_local, ad_l, as_ext, as_ext, as_ext, x_ext, x_ext, x_ext)
-            m_b, s_b = m_b[:, 0], s_b[:, 0]
+            )(ell_local, ad_l, as_t, as_t, as_t, x_ext, x_ext, x_ext)
+            m_b, s_b = ms_b[:, 0], ms_b[:, 64]
             m_out = m_b
 
             if fb_s.shape[0]:
@@ -903,38 +903,42 @@ class DistFullBatchGraph:
             from jax.experimental import pallas as pl
 
             from cugraph_gnn_tpu.ops.pallas.slab_kernel import (
-                _slab_attn_mh_kernel)
+                _slab_attn_fwd_kernel)
 
             rs, hf = x_local.shape
             nb_local = rs // r_blk
             x_ext = _halo_exchange(x_local, r_blk, axis, world)
+            # exchange (rs, H) alpha_src, then PRE-TRANSPOSE (round-4
+            # glue layout: no lane-replicated slab, no in-kernel
+            # transpose, packed m/s output)
+            sub = max(-(-heads // 8) * 8, 8)
             as_e = _halo_exchange(as_local.astype(jnp.float32), r_blk,
                                   axis, world)                  # (rs+2R, H)
-            as_ext = jnp.pad(as_e, ((0, 0), (0, 128 - heads)))
+            as_t = jnp.zeros((sub, rs + 2 * r_blk), jnp.float32)
+            as_t = jax.lax.dynamic_update_slice(as_t, as_e.T, (0, 0))
             ad_l = jnp.pad(ad_local.astype(jnp.float32),
                            ((0, 0), (0, 128 - heads)))
-            kern = ft.partial(_slab_attn_mh_kernel, k_w, use_bits,
+            kern = ft.partial(_slab_attn_fwd_kernel, k_w, use_bits,
                               heads, fh, negative_slope, jnp.float32)
-            sl = [pl.BlockSpec((r_blk, 128), lambda b, o=o: (b + o, 0))
-                  for o in range(3)]
+            as_specs = [pl.BlockSpec((sub, r_blk),
+                                     lambda b, o=o: (0, b + o))
+                        for o in range(3)]
             xl = [pl.BlockSpec((r_blk, hf), lambda b, o=o: (b + o, 0))
                   for o in range(3)]
-            u, m_b, s_b = pl.pallas_call(
+            u, ms_b = pl.pallas_call(
                 kern, grid=(nb_local,),
                 in_specs=[pl.BlockSpec((r_blk, adj_w), lambda b: (b, 0)),
                           pl.BlockSpec((r_blk, 128), lambda b: (b, 0))]
-                + sl + xl,
+                + as_specs + xl,
                 out_specs=[pl.BlockSpec((r_blk, hf), lambda b: (b, 0)),
-                           pl.BlockSpec((r_blk, 128), lambda b: (b, 0)),
                            pl.BlockSpec((r_blk, 128), lambda b: (b, 0))],
                 out_shape=[jax.ShapeDtypeStruct((rs, hf), jnp.float32),
-                           jax.ShapeDtypeStruct((rs, 128), jnp.float32),
                            jax.ShapeDtypeStruct((rs, 128), jnp.float32)],
                 interpret=interpret,
-            )(ell_local, ad_l, as_ext, as_ext, as_ext, x_ext, x_ext,
+            )(ell_local, ad_l, as_t, as_t, as_t, x_ext, x_ext,
               x_ext)
             u = u.reshape(rs, heads, fh)
-            m_b, s_b = m_b[:, :heads], s_b[:, :heads]
+            m_b, s_b = ms_b[:, :heads], ms_b[:, 64:64 + heads]
             m_out = m_b
 
             if fb_s.shape[0]:

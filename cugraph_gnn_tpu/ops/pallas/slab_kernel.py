@@ -286,72 +286,6 @@ def _attn_cnt(ell_or_bits, r_blk, k_width, use_bits):
     return cnt
 
 
-def _slab_attn_kernel(k_width: int, use_bits: bool, negative_slope: float,
-                      compute_dtype,
-                      ell_ref, ad_ref, as0, as1, as2, x0, x1, x2,
-                      u_ref, m_ref, s_ref):
-    """Single-head fused attention forward over lane-replicated stats
-    slabs — retained for the SHARDED path (ops/dist_full_batch.py),
-    whose halo exchange produces this layout.  The single-chip product
-    path uses :func:`_slab_attn_fwd_kernel` (round-4 glue layout)."""
-    r_blk = ad_ref.shape[0]
-    slab = jnp.concatenate([x0[...], x1[...], x2[...]], axis=0)   # (3R, F)
-    a_s = jnp.concatenate([as0[...], as1[...], as2[...]], axis=0)  # (3R, 128)
-    ad = ad_ref[...]                                     # (R, 128) col0 = a
-    cnt = _attn_cnt(ell_ref[...], r_blk, k_width, use_bits)
-    # e[r, c] = leakyrelu(ad[r] + as[c]); as needs to be a row vector —
-    # transpose the lane-replicated (3R, 128) column block.
-    as_row = jnp.transpose(a_s, (1, 0))[:1]              # (1, 3R)
-    e = ad[:, :1] + as_row                               # (R, 3R)
-    e = jnp.where(e >= 0, e, jnp.float32(negative_slope) * e)
-    ninf = jnp.float32(-jnp.inf)
-    e = jnp.where(cnt > 0, e, ninf)
-    m = jnp.max(e, axis=1, keepdims=True)                # (R, 1)
-    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
-    p = jnp.where(cnt > 0, cnt * jnp.exp(e - m_safe), 0.0)
-    s = jnp.sum(p, axis=1, keepdims=True)
-    u = jnp.dot(p.astype(compute_dtype), slab.astype(compute_dtype),
-                preferred_element_type=jnp.float32)      # (R, F)
-    u_ref[...] = u
-    m_ref[...] = jnp.broadcast_to(m_safe, m_ref.shape)
-    s_ref[...] = jnp.broadcast_to(s, s_ref.shape)
-
-
-def _slab_attn_mh_kernel(k_width: int, use_bits: bool, heads: int, f: int,
-                         negative_slope: float, compute_dtype,
-                         ell_ref, ad_ref, as0, as1, as2, x0, x1, x2,
-                         u_ref, m_ref, s_ref):
-    """Multi-head forward over lane-replicated stats slabs — retained
-    for the SHARDED path (ops/dist_full_batch.py).  The single-chip
-    product path uses :func:`_slab_attn_fwd_kernel`."""
-    r_blk = ad_ref.shape[0]
-    slab = jnp.concatenate([x0[...], x1[...], x2[...]], axis=0)   # (3R, H*F)
-    a_s = jnp.concatenate([as0[...], as1[...], as2[...]], axis=0)  # (3R, 128)
-    as_t = jnp.transpose(a_s, (1, 0))                    # (128, 3R)
-    ad = ad_ref[...]                                     # (R, 128) lane h
-    cnt = _attn_cnt(ell_ref[...], r_blk, k_width, use_bits)
-    has_edge = cnt > 0
-    ninf = jnp.float32(-jnp.inf)
-    us, ms, ss = [], [], []
-    for h in range(heads):
-        e = ad[:, h:h + 1] + as_t[h:h + 1]               # (R, 3R)
-        e = jnp.where(e >= 0, e, jnp.float32(negative_slope) * e)
-        e = jnp.where(has_edge, e, ninf)
-        m = jnp.max(e, axis=1, keepdims=True)            # (R, 1)
-        m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
-        p = jnp.where(has_edge, cnt * jnp.exp(e - m_safe), 0.0)
-        ss.append(jnp.sum(p, axis=1, keepdims=True))
-        ms.append(m_safe)
-        us.append(jnp.dot(
-            p.astype(compute_dtype),
-            slab[:, h * f:(h + 1) * f].astype(compute_dtype),
-            preferred_element_type=jnp.float32))
-    u_ref[...] = jnp.concatenate(us, axis=1)
-    pad = jnp.zeros((r_blk, 128 - heads), jnp.float32)
-    m_ref[...] = jnp.concatenate(ms + [pad], axis=1)
-    s_ref[...] = jnp.concatenate(ss + [pad], axis=1)
-
-
 def _slab_attn_fwd_kernel(k_width: int, use_bits: bool, heads: int, f: int,
                           negative_slope: float, compute_dtype,
                           ell_ref, ad_ref, as0, as1, as2, x0, x1, x2,
