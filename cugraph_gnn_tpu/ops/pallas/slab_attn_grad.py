@@ -248,8 +248,10 @@ def _onepass_bwd(graph: SlabGraph, x, alpha_dst, alpha_src, m, s, t, g,
     # at n_pad rows with NO +-R slab margin; slab parts use CLAMPED
     # block indices instead (out-of-range slab rows carry neighbor-
     # block data but their alpha is 0 — bits only mark real edges).
-    def _rows_to_npad(v):
-        v = v.astype(jnp.float32).reshape(n, -1)
+    def _rows_to_npad(v, dtype=jnp.float32):
+        # x/g keep their dtype (bf16 activations halve the slab DMA;
+        # the kernel casts at the dots) — stats stay f32
+        v = v.astype(dtype).reshape(n, -1)
         return v if n == n_pad else jnp.pad(v, ((0, n_pad - n), (0, 0)))
 
     # center stats, lane layout slot*H + h, built with ONE concat (the
@@ -265,8 +267,8 @@ def _onepass_bwd(graph: SlabGraph, x, alpha_dst, alpha_src, m, s, t, g,
     as_t = jnp.zeros((sub, n_pad), jnp.float32)
     as_t = jax.lax.dynamic_update_slice(
         as_t, alpha_src.astype(jnp.float32).reshape(n, heads).T, (0, 0))
-    x_pad = _rows_to_npad(x)
-    g_pad = _rows_to_npad(g)
+    x_pad = _rows_to_npad(x, x.dtype)
+    g_pad = _rows_to_npad(g, g.dtype)
 
     clamp = lambda o: lambda b: (jnp.clip(b + o - 1, 0, nb - 1), 0)
     clamp_c = lambda o: lambda b: (0, jnp.clip(b + o - 1, 0, nb - 1))

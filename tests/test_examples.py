@@ -131,6 +131,13 @@ def test_full_batch_training_example():
     run_example("full_batch_training.py", [])
 
 
+def test_full_batch_training_gat_example():
+    # fused slab attention fwd + one-pass bwd through the canonical
+    # example surface (accuracy-gated inside the script)
+    run_example("full_batch_training.py", ["--model", "gat",
+                                           "--epochs", "40"])
+
+
 def test_hetero_dist_training_example():
     run_example("hetero_dist_training.py", [], timeout=480)
 
