@@ -2,11 +2,28 @@
 (sample -> feature gather -> GraphSAGE fwd/bwd -> update) on an
 ogbn-products-scale synthetic graph, run on the real TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}
+(extra keys: per-stage ms, run-to-run spread, fixed-seed-set epoch_s —
+VERDICT r4 #1/#2).
 
 The reference publishes no numbers (BASELINE.md); vs_baseline is
 measured against the round-1 pinned value below so later rounds show
 relative progress.
+
+Round-5 step structure (benchmarks/gather_wall.py, batch_ramp_probe.py):
+
+- REPS steps' sampling runs as ONE flattened frontier per hop
+  (multihop_uniform_batched) — the neighbor-id window gather is
+  row-rate bound with a per-op ramp, and a 10x batch lifts the sample
+  stage 1.35x.  This is loader-style prefetching: features/topology are
+  read-only, so sampling ahead of the model steps changes nothing
+  (the reference's loader likewise samples call-groups ahead of
+  training, ref cugraph_pyg/sampler/distributed_sampler.py:279-343).
+- The feature table is stored f32 (512B rows): the XLA row gather is
+  row-RATE bound, not byte bound — f32 gathers 155M rows/s vs bf16's
+  110M at this batch size (bf16 256B rows waste half of every 512B HBM
+  line).  Rows cast to bf16 AFTER the gather for the model.
+- Model steps stay a sequential lax.scan (param updates chain).
 """
 
 import json
@@ -45,6 +62,13 @@ BATCH = 1024
 FANOUTS = (10, 10)
 WARMUP = 3
 ITERS = 200
+# ogbn-products train split is 196,615 nodes; at batch 1024 that is 192
+# steps.  The epoch measurement runs exactly EPOCH_STEPS steps over a
+# fixed shuffled permutation of a 196,608-node "train split" (the
+# nearest REPS multiple), mirroring the reference example's epoch loop
+# timing (ref cugraph_pyg/examples/gcn_dist_mnmg.py:222-252).
+TRAIN_SPLIT = 196_608
+EPOCH_STEPS = TRAIN_SPLIT // BATCH  # 192
 
 
 def main():
@@ -55,11 +79,12 @@ def main():
     import optax
 
     from cugraph_gnn_tpu.models import GraphSAGE
-    from cugraph_gnn_tpu.sampler import NeighborSampler
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
 
-    from cugraph_gnn_tpu.sampler.neighbor_sampler import multihop_uniform
+    from cugraph_gnn_tpu.sampler.neighbor_sampler import (
+        multihop_uniform_batched,
+    )
 
     # Power-law degrees are drawn on the HOST (cheap, and the edge count
     # must be static for jit); the big arrays (indices, features) are
@@ -99,7 +124,7 @@ def main():
         indices = (jnp.searchsorted(indptr, slot, side="right") - 1
                    ).astype(jnp.int32)
         feats = jax.random.normal(
-            jax.random.PRNGKey(1), (NUM_NODES, FEAT_DIM), jnp.bfloat16)
+            jax.random.PRNGKey(1), (NUM_NODES, FEAT_DIM), jnp.float32)
         labels = jax.random.randint(
             jax.random.PRNGKey(2), (NUM_NODES,), 0, CLASSES, jnp.int32)
         return indices, feats, labels
@@ -109,73 +134,88 @@ def main():
         f"({num_edges} edges, mean deg {num_edges/NUM_NODES:.1f}, "
         f"max deg {max_degree})")
 
-    # bf16 features + activations (f32 params/optimizer): standard TPU
-    # training precision; halves gather bytes and doubles MXU rate.
+    # bf16 activations (f32 params/optimizer): standard TPU training
+    # precision — features cast to bf16 after the f32-row gather.
     model = GraphSAGE(hidden_features=HIDDEN, out_features=CLASSES,
                       num_layers=len(FANOUTS), dtype=jnp.bfloat16)
-    seeds0 = jnp.arange(BATCH, dtype=jnp.int32)
-    t = time.perf_counter()
-    sample0 = jax.block_until_ready(jax.jit(
-        multihop_uniform,
-        static_argnames=("fanouts", "dedup", "max_degree", "hub_frac"))(
-        jax.random.PRNGKey(0), indptr_j, indices_j, seeds0, fanouts=FANOUTS,
-        dedup=False, indices2d=indices_j.reshape(-1, 128),
-        max_degree=max_degree, hub_frac=hub_frac))
-    log(f"sampler compile+run in {time.perf_counter()-t:.1f}s")
-    t = time.perf_counter()
-    x0 = feats[jnp.clip(sample0.input_nodes, 0)]
-    params = model.init(jax.random.PRNGKey(1), x0, sample0)
-    tx = optax.adam(1e-3)
-    opt_state = tx.init(params)
-    log(f"model init in {time.perf_counter()-t:.1f}s")
 
-    def train_step(carry, key):
-        # dedup=False: static renumbering layout, no sorts in the hot
-        # path (model output distribution identical; see
-        # tests/test_dedup_modes.py).  indices2d routes neighbor-id
-        # reads through the line-window gather (9x over scalar gather).
-        params, opt_state, edge_total, indptr, indices, feats, labels = carry
+    # REPS training steps per dispatch: one fused sampling pass (the
+    # flattened frontier) + a scan of REPS model steps.  Also amortizes
+    # the axon tunnel's ~0.25-0.4 ms per-dispatch latency.
+    REPS = 20
+
+    def sample_block(key, indptr, indices):
+        """REPS steps' seeds + fused multihop sample."""
         sk, pk = jax.random.split(key)
-        seeds = jax.random.randint(pk, (BATCH,), 0, NUM_NODES, jnp.int32)
-        sample = multihop_uniform(sk, indptr, indices, seeds, FANOUTS,
-                                  dedup=False,
-                                  indices2d=indices.reshape(-1, 128),
-                                  max_degree=max_degree,
-                                  hub_frac=hub_frac)
-        inp = sample.input_nodes
-        x = jnp.where((inp >= 0)[:, None], feats[jnp.clip(inp, 0)], 0)
-        y = labels[jnp.clip(seeds, 0)]
+        seeds = jax.random.randint(pk, (REPS, BATCH), 0, NUM_NODES,
+                                   jnp.int32)
+        sample = multihop_uniform_batched(
+            sk, indptr, indices, seeds, FANOUTS,
+            indices2d=indices.reshape(-1, 128), max_degree=max_degree,
+            hub_frac=hub_frac)
+        return seeds, sample
 
-        def loss_fn(p):
-            logits = model.apply(p, x, sample).astype(jnp.float32)
-            valid = seeds >= 0
-            ls = optax.softmax_cross_entropy_with_integer_labels(logits, y)
-            return jnp.sum(jnp.where(valid, ls, 0)) / jnp.maximum(
-                jnp.sum(valid), 1)
+    tx = optax.adam(1e-3)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state)
-        params = optax.apply_updates(params, updates)
-        edges = sum(jnp.sum(h.mask) for h in sample.hops)
-        return (params, opt_state, edge_total + edges.astype(jnp.int32),
-                indptr, indices, feats, labels), loss
+    def gather_features(sample, feats):
+        """REPS feature gathers as UNROLLED independent top-level ops:
+        inside lax.scan the same gather costs ~1.07 ms/step, unrolled
+        ~0.85 (XLA pipelines independent gathers; scan iterations
+        serialize).  clip-only, NO where-mask: the mask epilogue costs
+        a separate HBM pass (+0.4 ms, benchmarks/gather_ids_probe.py)
+        and is redundant — -1 slots read row 0, and every consumer
+        masks with hop.mask / the loss's seed validity (MultihopBatch
+        contract: "-1 slots carry garbage rows, mask with mask")."""
+        inp = sample.levels[-1]  # (REPS, N_in)
+        return jnp.stack([
+            feats[jnp.clip(inp[i], 0)].astype(jnp.bfloat16)
+            for i in range(inp.shape[0])])
 
-    # REPS training steps per dispatch (lax.scan over steps — standard
-    # TPU practice; per-dispatch latency through the axon tunnel is
-    # ~0.25-0.4 ms, which would otherwise be billed to every step).
-    REPS = 10
+    def model_scan(params, opt_state, seeds, sample, x_all, labels):
+        """Sequential REPS-step train scan over the batched sample."""
+        ys = labels[jnp.clip(seeds, 0)]
+
+        def step(carry, xs):
+            params, opt_state = carry
+            s, y, seed_row, x = xs
+
+            def loss_fn(p):
+                logits = model.apply(p, x, s).astype(jnp.float32)
+                valid = seed_row >= 0
+                ls = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, y)
+                return jnp.sum(jnp.where(valid, ls, 0)) / jnp.maximum(
+                    jnp.sum(valid), 1)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state2 = tx.update(grads, opt_state)
+            params2 = optax.apply_updates(params, updates)
+            return (params2, opt_state2), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), (sample, ys, seeds, x_all))
+        return params, opt_state, losses[-1]
 
     @jax.jit
     def train_block(params, opt_state, edge_total, key, indptr, indices,
                     feats, labels):
-        carry = (params, opt_state, edge_total, indptr, indices, feats,
-                 labels)
-        carry, losses = jax.lax.scan(
-            train_step, carry, jax.random.split(key, REPS))
-        params, opt_state, edge_total = carry[:3]
-        return params, opt_state, edge_total, losses[-1]
+        seeds, sample = sample_block(key, indptr, indices)
+        edges = sum(jnp.sum(h.mask) for h in sample.hops)
+        x_all = gather_features(sample, feats)
+        params, opt_state, loss = model_scan(
+            params, opt_state, seeds, sample, x_all, labels)
+        return params, opt_state, edge_total + edges.astype(jnp.int32), loss
 
+    # --- init ---------------------------------------------------------
+    t = time.perf_counter()
     key = jax.random.PRNGKey(2)
+    _, sample0 = jax.jit(sample_block)(key, indptr_j, indices_j)
+    s0 = jax.tree_util.tree_map(lambda a: a[0], sample0)
+    x0 = feats[jnp.clip(s0.input_nodes, 0)]
+    params = model.init(jax.random.PRNGKey(1), x0, s0)
+    opt_state = tx.init(params)
+    log(f"model init in {time.perf_counter()-t:.1f}s")
+
     edge_total = jnp.zeros((), jnp.int32)
     for i in range(WARMUP):
         key, sk = jax.random.split(key)
@@ -202,62 +242,51 @@ def main():
 
     NB = ITERS // REPS
     _, params, opt_state = run(1, params, opt_state)  # warm
-    t0 = time.perf_counter()
-    _, params, opt_state = run(1, params, opt_state)
-    t_small = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    total_edges, params, opt_state = run(NB + 1, params, opt_state)
-    t_big = time.perf_counter() - t0
-    dt = max(t_big - t_small, 1e-9)
-    total_edges = total_edges * NB // (NB + 1)
-    log(f"timed: {t_big:.2f}s[{(NB+1)*REPS}] - {t_small:.2f}s[{REPS}] -> "
-        f"{1e3*dt/ITERS:.2f} ms/iter")
 
+    def one_measurement():
+        nonlocal params, opt_state
+        t0 = time.perf_counter()
+        _, params, opt_state = run(1, params, opt_state)
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        total_edges, params2, opt_state2 = run(NB + 1, params, opt_state)
+        params, opt_state = params2, opt_state2
+        t_big = time.perf_counter() - t0
+        dt = max(t_big - t_small, 1e-9)
+        return dt, total_edges * NB // (NB + 1)
+
+    # Run-to-run spread (VERDICT r4 #1: make 2.60-vs-2.70 diagnosable).
+    runs = []
+    for r in range(3):
+        dt, total_edges = one_measurement()
+        runs.append((dt, total_edges))
+        log(f"run {r}: {1e3*dt/ITERS:.3f} ms/iter")
+    runs_ms = sorted(1e3 * dt / ITERS for dt, _ in runs)
+    dt, total_edges = sorted(runs, key=lambda x: x[0])[len(runs) // 2]
     edges_per_s = total_edges / dt
     ms_total = 1e3 * dt / ITERS
+    log(f"median {ms_total:.2f} ms/iter "
+        f"(spread {runs_ms[0]:.2f}-{runs_ms[-1]:.2f})")
 
     # --- per-stage breakdown (sample / +feature gather / model) ---
     # Same differencing discipline; regressions become attributable to
     # a stage instead of hiding in the total (VERDICT r2 #8).
     import os
+    stages = {}
     if os.environ.get("BENCH_STAGES", "1") != "0":
-        def scan_block(body):
-            @jax.jit
-            def run_block(acc, key, indptr, indices, feats):
-                def step(c, i):
-                    return body(c, jax.random.fold_in(key, i), indptr,
-                                indices, feats), None
-                acc2, _ = jax.lax.scan(
-                    step, acc, jnp.arange(REPS, dtype=jnp.int32))
-                return acc2
-            return run_block
-
-        def _sample_body(acc, key, indptr, indices, feats):
-            sk, pk = jax.random.split(key)
-            seeds = jax.random.randint(pk, (BATCH,), 0, NUM_NODES,
-                                       jnp.int32)
-            s = multihop_uniform(sk, indptr, indices, seeds, FANOUTS,
-                                 dedup=False,
-                                 indices2d=indices.reshape(-1, 128),
-                                 max_degree=max_degree,
-                                 hub_frac=hub_frac)
+        def _sample_block(acc, key, indptr, indices, feats):
+            _, s = sample_block(key, indptr, indices)
             return acc + jnp.sum(s.levels[-1]).astype(jnp.int32)
 
-        def _sg_body(acc, key, indptr, indices, feats):
-            sk, pk = jax.random.split(key)
-            seeds = jax.random.randint(pk, (BATCH,), 0, NUM_NODES,
-                                       jnp.int32)
-            s = multihop_uniform(sk, indptr, indices, seeds, FANOUTS,
-                                 dedup=False,
-                                 indices2d=indices.reshape(-1, 128),
-                                 max_degree=max_degree,
-                                 hub_frac=hub_frac)
-            inp = s.input_nodes
-            x = jnp.where((inp >= 0)[:, None], feats[jnp.clip(inp, 0)], 0)
-            return acc + jnp.sum(x).astype(jnp.float32).astype(jnp.int32)
+        def _sg_block(acc, key, indptr, indices, feats):
+            _, sample = sample_block(key, indptr, indices)
+            x_all = gather_features(sample, feats)
+            return acc + jnp.sum(
+                x_all.astype(jnp.float32)).astype(jnp.int32)
 
         def time_block(blk):
             nonlocal key
+            blk = jax.jit(blk)
             acc = jnp.zeros((), jnp.int32)
             key, sk = jax.random.split(key)
             int(blk(acc, sk, indptr_j, indices_j, feats))  # compile+warm
@@ -268,6 +297,7 @@ def main():
                     key, sk2 = jax.random.split(key)
                     a = blk(a, sk2, indptr_j, indices_j, feats)
                 return int(a)
+            loop(1)
             t0 = time.perf_counter()
             loop(1)
             small = time.perf_counter() - t0
@@ -276,19 +306,75 @@ def main():
             return max(time.perf_counter() - t0 - small, 1e-9) \
                 / (NB * REPS) * 1e3
 
-        ms_sample = time_block(scan_block(_sample_body))
-        ms_sg = time_block(scan_block(_sg_body))
+        ms_sample = time_block(_sample_block)
+        ms_sg = time_block(_sg_block)
+        stages = {
+            "sample_ms": round(ms_sample, 3),
+            "feature_gather_ms": round(max(ms_sg - ms_sample, 0), 3),
+            "model_ms": round(max(ms_total - ms_sg, 0), 3),
+        }
         log(f"stage split: sample {ms_sample:.2f} ms, "
             f"+feature gather {max(ms_sg - ms_sample, 0):.2f} ms, "
             f"model(+overlap) {max(ms_total - ms_sg, 0):.2f} ms "
             f"(total {ms_total:.2f} ms)")
 
-    print(json.dumps({
+    # --- fixed-seed-set epoch time (BASELINE's other half) ------------
+    # One epoch = EPOCH_STEPS steps over a fixed shuffled permutation of
+    # the synthetic train split, seeds sliced per block from the
+    # permutation ON DEVICE.
+    epoch_s = None
+    if os.environ.get("BENCH_EPOCH", "1") != "0":
+        perm = jax.random.permutation(
+            jax.random.PRNGKey(9),
+            jnp.arange(TRAIN_SPLIT, dtype=jnp.int32))
+
+        @jax.jit
+        def epoch_block(params, opt_state, edge_total, block_ix, key,
+                        perm, indptr, indices, feats, labels):
+            seeds = jax.lax.dynamic_slice(
+                perm, (block_ix * REPS * BATCH,), (REPS * BATCH,)
+            ).reshape(REPS, BATCH)
+            sample = multihop_uniform_batched(
+                key, indptr, indices, seeds, FANOUTS,
+                indices2d=indices.reshape(-1, 128),
+                max_degree=max_degree, hub_frac=hub_frac)
+            edges = sum(jnp.sum(h.mask) for h in sample.hops)
+            x_all = gather_features(sample, feats)
+            params, opt_state, loss = model_scan(
+                params, opt_state, seeds, sample, x_all, labels)
+            return (params, opt_state,
+                    edge_total + edges.astype(jnp.int32), loss)
+
+        def epoch(params, opt_state):
+            nonlocal key
+            edge_total = jnp.zeros((), jnp.int32)
+            for b in range(EPOCH_STEPS // REPS):
+                key, sk = jax.random.split(key)
+                params, opt_state, edge_total, loss = epoch_block(
+                    params, opt_state, edge_total, b, sk, perm,
+                    indptr_j, indices_j, feats, labels)
+            return int(edge_total), params, opt_state
+
+        _, params, opt_state = epoch(params, opt_state)  # compile+warm
+        t0 = time.perf_counter()
+        _, params, opt_state = epoch(params, opt_state)
+        epoch_s = time.perf_counter() - t0
+        log(f"epoch ({EPOCH_STEPS} steps over {TRAIN_SPLIT} fixed seeds): "
+            f"{epoch_s:.3f}s")
+
+    out = {
         "metric": "sampled_edges_per_s_per_chip",
         "value": round(edges_per_s, 1),
         "unit": "edges/s",
         "vs_baseline": round(edges_per_s / BASELINE_EDGES_PER_S, 4),
-    }))
+        "ms_per_iter": round(ms_total, 3),
+        "runs_ms_per_iter": [round(m, 3) for m in runs_ms],
+        "stages": stages,
+    }
+    if epoch_s is not None:
+        out["epoch_s"] = round(epoch_s, 3)
+        out["epoch_steps"] = EPOCH_STEPS
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -107,6 +107,76 @@ def multihop_uniform(key, indptr, indices, seeds, fanouts,
                          static_layout=not dedup)
 
 
+def multihop_uniform_batched(key, indptr, indices, seeds, fanouts,
+                             indices2d=None, max_degree: int = None,
+                             hub_frac=None) -> MultihopBatch:
+    """S independent mini-batches sampled as ONE flattened frontier.
+
+    seeds: (S, B) int32 — S steps' seed batches.  Per hop, the S
+    frontiers are flattened to one (S*B_l,) batch so every per-seed op
+    (Floyd draws, the neighbor-id window gather) runs at S times the
+    batch size.  The XLA row gather underlying the window gather is
+    row-RATE bound with a per-op ramp (benchmarks/gather_wall.py — at
+    hop-2 scale a 10x larger batch lifts the whole sample stage 1.35x
+    on v5e), so fusing steps is the lever the per-step layout leaves on
+    the table.  The reference's analog is the bulk sampler's
+    ``local_seeds_per_call`` call-grouping, which batches many seed
+    groups into one device-side pass
+    (ref cugraph_pyg/sampler/distributed_sampler.py:279-343).
+
+    Returns a MultihopBatch whose every array leaf carries a leading
+    step axis (S, ...); slicing step s (or `lax.scan`-ning over the
+    pytree) yields exactly the single-step dedup=False static-layout
+    batch `multihop_uniform(..., dedup=False)` would produce for
+    seeds[s] — positions are per-step, not flattened.  Draw streams
+    differ from S separate calls (one fold_in per hop across the
+    flattened batch) but are iid uniform all the same.
+    """
+    fanouts = tuple(int(f) for f in fanouts)
+    if hub_frac is None or np.isscalar(hub_frac):
+        hub_frac = (hub_frac,) * len(fanouts)
+    elif len(hub_frac) != len(fanouts):
+        raise ValueError(
+            f"hub_frac needs one entry per hop: got {len(hub_frac)} "
+            f"for {len(fanouts)} fanouts")
+    s_steps, batch = seeds.shape
+    levels = [seeds.astype(jnp.int32)]
+    level_counts = [jnp.sum(seeds >= 0, axis=1).astype(jnp.int32)]
+    hops: List[HopBlock] = []
+    for h, fanout in enumerate(fanouts):
+        hkey = jax.random.fold_in(key, h)
+        targets = levels[-1]                       # (S, B_l)
+        t = targets.shape[1]
+        flat = targets.reshape(-1)
+        valid_seed = flat >= 0
+        safe = jnp.where(valid_seed, flat, 0)
+        out = sample_ops.uniform_sample(
+            hkey, indptr, indices, safe, fanout, indices2d=indices2d,
+            max_degree=max_degree, hub_frac=hub_frac[h])
+        vm = valid_seed[:, None]
+        neighbors = jnp.where(vm, out.neighbors, -1).reshape(
+            s_steps, t, fanout)
+        edge_ids = jnp.where(vm, out.edge_ids, -1).reshape(
+            s_steps, t, fanout)
+        # per-step static layout: neighbor (i, j) of step s sits at
+        # t + i*fanout + j within step s's level l+1
+        pos = (t + jnp.arange(t * fanout, dtype=jnp.int32)
+               ).reshape(t, fanout)
+        neigh_local = jnp.where(neighbors >= 0, pos[None], -1)
+        next_level = jnp.concatenate(
+            [targets, neighbors.reshape(s_steps, t * fanout)], axis=1)
+        hops.append(HopBlock(
+            neigh_local=neigh_local,
+            neigh_global=neighbors,
+            edge_ids=edge_ids))
+        levels.append(next_level)
+        level_counts.append(
+            jnp.sum(next_level >= 0, axis=1).astype(jnp.int32))
+    return MultihopBatch(levels=levels, level_counts=level_counts,
+                         hops=hops, seed_count=level_counts[0],
+                         static_layout=True)
+
+
 class NeighborSampler:
     """Uniform / weighted / temporal multi-hop sampler over a CSR graph.
 
