@@ -142,7 +142,7 @@ def main():
     # REPS training steps per dispatch: one fused sampling pass (the
     # flattened frontier) + a scan of REPS model steps.  Also amortizes
     # the axon tunnel's ~0.25-0.4 ms per-dispatch latency.
-    REPS = 20
+    REPS = 10
 
     def sample_block(key, indptr, indices):
         """REPS steps' seeds + fused multihop sample."""
