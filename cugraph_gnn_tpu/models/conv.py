@@ -324,3 +324,19 @@ class RGCNConv(nn.Module):
             agg = segment_spmm(x, s_r, d_r, num_nodes, reduce=self.aggr)
             out = out + self.lin_rel[r](agg)
         return out
+
+    def full_graph(self, x, rfb):
+        """Full-batch via ops.RelationalFullBatch: per-relation banded
+        slab SpMMs on the shared union-RCM node order (each relation's
+        forward AND backward ride the MXU slab kernel); x in rfb's
+        graph order.  Ref analog: FastRGCNConv at
+        /root/reference/python/cugraph-pyg/cugraph_pyg/examples/rgcn_link_class_mnmg.py."""
+        if len(rfb.graphs) != self.num_relations:
+            raise ValueError(
+                f"RelationalFullBatch has {len(rfb.graphs)} relations, "
+                f"conv expects {self.num_relations}")
+        out = self.lin_root(x)
+        for r, g in enumerate(rfb.graphs):
+            agg = g.spmm(x, reduce=self.aggr).astype(x.dtype)
+            out = out + self.lin_rel[r](agg)
+        return out

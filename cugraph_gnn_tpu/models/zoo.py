@@ -194,3 +194,13 @@ class RGCN(nn.Module):
             if i != len(self.convs) - 1:
                 h = nn.relu(h)
         return h
+
+    def full_graph(self, x, rfb, *, train: bool = False):
+        """Full-batch forward via ops.RelationalFullBatch (per-relation
+        slab MXU aggregation); x in rfb's graph order."""
+        h = x
+        for i, conv in enumerate(self.convs):
+            h = conv.full_graph(h, rfb)
+            if i != len(self.convs) - 1:
+                h = nn.relu(h)
+        return h

@@ -6,7 +6,8 @@ from cugraph_gnn_tpu.ops.csr import (
     edge_mask_valid,
 )
 from cugraph_gnn_tpu.ops.dist_full_batch import DistFullBatchGraph
-from cugraph_gnn_tpu.ops.full_batch import FullBatchGraph
+from cugraph_gnn_tpu.ops.full_batch import (FullBatchGraph,
+                                             RelationalFullBatch)
 from cugraph_gnn_tpu.ops.gather import local_gather, local_scatter, local_scatter_add
 from cugraph_gnn_tpu.ops.pallas.slab_kernel import (
     SlabGraph,
@@ -39,6 +40,7 @@ __all__ = [
     "CSR",
     "DistFullBatchGraph",
     "FullBatchGraph",
+    "RelationalFullBatch",
     "ReorderedGraph",
     "SlabGraph",
     "bandwidth_stats",

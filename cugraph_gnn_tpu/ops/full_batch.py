@@ -262,3 +262,94 @@ class FullBatchGraph:
             np.asarray(dst, np.int32), np.asarray(src, np.int32), num_nodes)
         w = None if weights is None else np.asarray(weights)[perm]
         return cls(indptr, indices, w, **kw)
+
+
+def _band_share(src, dst, block_rows: int) -> float:
+    """Host estimate of the slab-band edge share for an order: fraction
+    of edges with |src - dst| <= block_rows (the slab keeps columns
+    within one block radius of the row block)."""
+    if len(src) == 0:
+        return 0.0
+    return float(np.mean(np.abs(src.astype(np.int64)
+                                - dst.astype(np.int64)) <= block_rows))
+
+
+class RelationalFullBatch:
+    """Per-relation FullBatchGraphs over ONE shared node order — the
+    full-batch R-GCN surface (BASELINE config 4).
+
+    R-GCN's aggregation is a sum over relations of independent SpMMs:
+    out = W_root x + sum_r W_r (A_r x).  Each relation gets its own
+    banded slab (with its own transpose for autodiff), all built on the
+    UNION graph's RCM order so one graph-order ``x`` serves every
+    relation — per-relation reorders would need R permuted copies of
+    the node data.  Ref analog: FastRGCNConv consumed at
+    /root/reference/python/cugraph-pyg/cugraph_pyg/examples/rgcn_link_class_mnmg.py
+    (relation looked up from the sampled batch's edge ids).
+
+    Parameters mirror FullBatchGraph; ``reorder='auto'`` keeps the RCM
+    order only if it raises the union band share.
+    """
+
+    def __init__(self, src, dst, edge_type, num_relations: int,
+                 num_nodes: int, *, reorder: str = "auto",
+                 block_rows: int = 256, max_k: int = 64,
+                 min_band_fraction: float = 0.5):
+        src = np.asarray(src, np.int32)
+        dst = np.asarray(dst, np.int32)
+        et = np.asarray(edge_type, np.int32)
+        if not (len(src) == len(dst) == len(et)):
+            raise ValueError("src/dst/edge_type length mismatch")
+        if reorder not in ("rcm", "none", "auto"):
+            raise ValueError(f"unknown reorder {reorder!r}")
+        self.num_nodes = int(num_nodes)
+        self.num_relations = int(num_relations)
+        self._order_struct = None
+        if reorder in ("rcm", "auto") and len(src):
+            from cugraph_gnn_tpu.native import build_csr
+            u_indptr, u_indices, _ = build_csr(dst, src, num_nodes)
+            rg = reorder_csr(u_indptr, u_indices)
+            ns = rg.inv_order[src]
+            nd = rg.inv_order[dst]
+            if reorder == "rcm" or (_band_share(ns, nd, block_rows)
+                                    > _band_share(src, dst, block_rows)):
+                self._order_struct = rg
+                src, dst = ns, nd
+        self.graphs = []
+        for r in range(num_relations):
+            m = et == r
+            self.graphs.append(FullBatchGraph.from_coo(
+                src[m], dst[m], num_nodes, reorder="none",
+                block_rows=block_rows, max_k=max_k,
+                min_band_fraction=min_band_fraction))
+        self.band_fraction = (
+            float(np.mean([g.band_fraction for g in self.graphs]))
+            if self.graphs else 0.0)
+
+    # -- node-order mapping (same contract as FullBatchGraph) -----------
+
+    @property
+    def order(self):
+        return (None if self._order_struct is None
+                else self._order_struct.order)
+
+    @property
+    def inv_order(self):
+        return (None if self._order_struct is None
+                else self._order_struct.inv_order)
+
+    def to_graph_order(self, x):
+        if self._order_struct is None:
+            return x
+        return x[jnp.asarray(self._order_struct.order)]
+
+    def to_input_order(self, x):
+        if self._order_struct is None:
+            return x
+        return x[jnp.asarray(self._order_struct.inv_order)]
+
+    def map_ids(self, ids):
+        if self._order_struct is None:
+            return ids
+        inv = jnp.asarray(self._order_struct.inv_order)
+        return jnp.where(ids >= 0, inv[jnp.clip(ids, 0)], -1)
