@@ -257,7 +257,9 @@ def build_neighbor_sampler(feature_store, graph_store, num_neighbors,
         graph, num_neighbors,
         weights_by_etype=_collect(weight_attr),
         times_by_etype=_collect(time_attr),
-        max_unique_per_hop=max_unique_per_hop)
+        max_unique_per_hop=max_unique_per_hop,
+        dedup=True if (disjoint or max_unique_per_hop is not None)
+        else dedup)
     if disjoint:
         # per-seed typed subgraphs (PyG disjoint over hetero loaders,
         # ref distributed_sampler.py:168-218 disjoint batch offsets)

@@ -187,6 +187,30 @@ class RGCN(nn.Module):
                 h = nn.relu(h)
         return h
 
+    def batch_call(self, x_input, batch, etype_names):
+        """Forward directly over a HeteroMultihopBatch: neighbor
+        activations read via ``batch.gather_neighbors`` — free
+        contiguous slices on dedup=False static layouts (sampler/
+        hetero.py), row gathers otherwise.  Relation order follows
+        ``etype_names`` (must match num_relations)."""
+        h = x_input
+        num_hops = batch.num_hops
+        for li, conv in enumerate(self.convs):
+            hop_index = num_hops - 1 - li
+            hop = batch.hops[hop_index]
+            x_dst = batch.dst_activations(h, hop_index)
+            blocks = []
+            for en in etype_names:
+                if en in hop:
+                    blocks.append((batch.gather_neighbors(h, hop_index, en),
+                                   hop[en].mask))
+                else:
+                    blocks.append(None)
+            h = conv(x_dst, blocks)
+            if conv is not self.convs[-1]:
+                h = nn.relu(h)
+        return h
+
     def full(self, x, src, dst, edge_type, num_nodes: int):
         h = x
         for i, conv in enumerate(self.convs):

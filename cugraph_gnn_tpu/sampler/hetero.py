@@ -34,10 +34,22 @@ class HeteroMultihopBatch(NamedTuple):
     # global arrays are per-shard arrays concatenated and neigh_local is
     # shard-relative.
     num_shards: int = 1
+    # Static (pytree-aux) dedup=False layout metadata: per hop, a tuple
+    # of (etype_name, start, fanout) describing the positional layout
+    # levels[l+1] = [targets | et1 block row-major | et2 block | ...].
+    # When set, gather_neighbors reads neighbor activations with a free
+    # contiguous slice instead of a row gather — the hetero analog of
+    # MultihopBatch.static_layout (on TPU the activation gathers are
+    # row-rate bound, see PERF_NOTES.md).  () = dedup=True layout.
+    layouts: tuple = ()
 
     @property
     def num_hops(self) -> int:
         return len(self.hops)
+
+    @property
+    def static_layout(self) -> bool:
+        return bool(self.layouts)
 
     @property
     def input_nodes(self):
@@ -55,15 +67,23 @@ class HeteroMultihopBatch(NamedTuple):
         """Neighbor activations for one edge type's block of hop l
         (shard-relative indices handled; mask with the block's mask)."""
         from cugraph_gnn_tpu.sampler.output import shard_gather
-        return shard_gather(h, self.hops[hop_index][etype].neigh_local,
-                            self.num_shards)
+        blk = self.hops[hop_index][etype]
+        if self.layouts and self.num_shards == 1:
+            for ename, start, fanout in self.layouts[hop_index]:
+                if ename == etype:
+                    t = blk.neigh_local.shape[0]
+                    if h.shape[0] >= start + t * fanout:
+                        return h[start: start + t * fanout].reshape(
+                            t, fanout, *h.shape[1:])
+        return shard_gather(h, blk.neigh_local, self.num_shards)
 
 
 jax.tree_util.register_pytree_node(
     HeteroMultihopBatch,
     lambda b: ((b.levels, b.level_counts, b.hops, b.seed_count),
-               b.num_shards),
-    lambda aux, c: HeteroMultihopBatch(*c, num_shards=aux),
+               (b.num_shards, b.layouts)),
+    lambda aux, c: HeteroMultihopBatch(*c, num_shards=aux[0],
+                                       layouts=aux[1]),
 )
 
 
@@ -85,7 +105,8 @@ class HeteroNeighborSampler:
     def __init__(self, graph, fanouts: Union[Sequence[int], Dict],
                  weights_by_etype: Optional[Dict] = None,
                  times_by_etype: Optional[Dict] = None,
-                 max_unique_per_hop: Optional[Sequence[int]] = None):
+                 max_unique_per_hop: Optional[Sequence[int]] = None,
+                 dedup: bool = True):
         from cugraph_gnn_tpu.ops.window_gather import pad_to_lines
         self.graph = graph
         self.etypes = list(graph.etypes)
@@ -110,6 +131,11 @@ class HeteroNeighborSampler:
             self.fanouts = {_etype_str(et): f for et in self.etypes}
             self.num_hops = len(f)
         self.max_unique_per_hop = max_unique_per_hop
+        if not dedup and max_unique_per_hop is not None:
+            raise ValueError("capacity budgets (max_unique_per_hop) need "
+                             "dedup=True — dedup=False has fixed "
+                             "positional capacities")
+        self.dedup = dedup
         self._sample_jit = jax.jit(self._sample, static_argnames=("batch_size",))
 
     def _level_caps(self, batch_size: int) -> List[int]:
@@ -129,98 +155,176 @@ class HeteroNeighborSampler:
         return caps
 
     def _sample(self, key, seeds, node_times=None, *, batch_size: int):
-        caps = self._level_caps(batch_size)
-        seed_time = node_times
-        levels = [seeds.astype(jnp.int32)]
-        level_counts = [jnp.sum(seeds >= 0).astype(jnp.int32)]
-        hops: List[Dict[str, HopBlock]] = []
-        for h in range(self.num_hops):
-            targets = levels[-1]
-            valid_seed = targets >= 0
-            safe = jnp.where(valid_seed, targets, 0)
-            per_type_out = {}
-            all_neighbors = []
-            for ei, et in enumerate(self.etypes):
-                ename = _etype_str(et)
-                fan = self.fanouts[ename]
-                if fan is None or fan[h] <= 0:
-                    continue
-                indptr, indices, edge_base = self.graph.csr_by_etype[et]
-                hkey = jax.random.fold_in(jax.random.fold_in(key, h), ei)
-                w = self.weights.get(ename)
-                times = self.times.get(ename)
-                ind2d = (indices.reshape(-1, 128)
-                         if indices.shape[0] % 128 == 0 else None)
-                times2d = (times.reshape(-1, 128)
-                           if times is not None else None)
-                maxdeg = self.graph.max_degree_by_etype[et]
-                et_t = times if seed_time is not None else None
-                st_t = seed_time if times is not None else None
-                if w is not None:
-                    out = sample_ops.weighted_sample(
-                        hkey, indptr, indices, w, safe, fan[h],
-                        max_degree=maxdeg, indices2d=ind2d,
-                        weights2d=w.reshape(-1, 128),
-                        edge_times=et_t, times2d=times2d, seed_time=st_t)
-                elif times is not None and seed_time is not None:
-                    out = sample_ops.masked_uniform_sample(
-                        hkey, indptr, indices, safe, fan[h],
-                        max_degree=maxdeg, indices2d=ind2d,
-                        edge_times=times, times2d=times2d,
-                        seed_time=seed_time)
-                else:
-                    out = sample_ops.uniform_sample(
-                        hkey, indptr, indices, safe, fan[h],
-                        indices2d=ind2d, max_degree=maxdeg)
-                vm = valid_seed[:, None]
-                neighbors = jnp.where(vm, out.neighbors, -1)
-                edge_ids = jnp.where(
-                    vm & (out.edge_ids >= 0), out.edge_ids + edge_base, -1)
-                per_type_out[ename] = (neighbors, edge_ids)
-                all_neighbors.append(neighbors.reshape(-1))
+        return hetero_multihop(
+            key,
+            {_etype_str(et): self.graph.csr_by_etype[et][:2]
+             for et in self.etypes},
+            seeds,
+            etype_names=[_etype_str(et) for et in self.etypes],
+            fanouts=self.fanouts,
+            edge_bases={_etype_str(et): self.graph.csr_by_etype[et][2]
+                        for et in self.etypes},
+            max_degrees={_etype_str(et): self.graph.max_degree_by_etype[et]
+                         for et in self.etypes},
+            caps=self._level_caps(batch_size),
+            weights=self.weights or None,
+            times=self.times or None,
+            node_times=node_times,
+            dedup=self.dedup)
+
+    def sample(self, key, seeds, node_times=None) -> HeteroMultihopBatch:
+        return self._sample_jit(
+            key, seeds, node_times, batch_size=int(seeds.shape[0]))
+
+
+def hetero_multihop(key, csrs, seeds, *, etype_names, fanouts, edge_bases,
+                    max_degrees, caps, weights=None, times=None,
+                    node_times=None,
+                    dedup: bool = True) -> HeteroMultihopBatch:
+    """Functional heterogeneous multi-hop sample with *explicit* graph
+    arguments (the hetero analog of ``multihop_uniform``): ``csrs`` maps
+    edge-type name -> (indptr, indices) device arrays and can be passed
+    straight through ``jit`` — closing over the per-type CSRs (as a
+    bound method would) embeds them as XLA program constants, which
+    costs a re-ship per dispatch on tunneled TPU hosts (PERF_NOTES.md).
+
+    etype_names fixes the hop iteration order; fanouts maps name ->
+    per-hop list (None / 0 skips the type that hop); edge_bases /
+    max_degrees / caps are static ints.  weights / times: optional
+    name-> per-edge array dicts (biased / temporal variants).
+
+    dedup=False is the TPU fast path (hetero analog of
+    ``multihop_uniform(dedup=False)``): level l+1 is the *static*
+    layout [targets | et1 neighbors row-major | et2 | ...], so
+    renumbering is position arithmetic and the per-hop append_unique —
+    whose sort + binary-search machinery costs ~0.28 us per level slot
+    on v5e (benchmarks/hetero_bisect_probe.py: 64 ms/step at mag scale
+    vs ~5 ms without) — disappears.  Level capacities are IDENTICAL
+    (the dedup budget already uses the no-dedup bound), and the batch
+    carries ``layouts`` metadata so gather_neighbors turns into free
+    contiguous slices.
+    """
+    num_hops = len(caps) - 1
+    weights = weights or {}
+    times = times or {}
+    seed_time = node_times
+    levels = [seeds.astype(jnp.int32)]
+    level_counts = [jnp.sum(seeds >= 0).astype(jnp.int32)]
+    layouts: List[tuple] = []
+    hops: List[Dict[str, HopBlock]] = []
+    for h in range(num_hops):
+        targets = levels[-1]
+        valid_seed = targets >= 0
+        safe = jnp.where(valid_seed, targets, 0)
+        per_type_out = {}
+        all_neighbors = []
+        for ei, ename in enumerate(etype_names):
+            fan = fanouts[ename]
+            if fan is None or fan[h] <= 0:
+                continue
+            indptr, indices = csrs[ename]
+            hkey = jax.random.fold_in(jax.random.fold_in(key, h), ei)
+            w = weights.get(ename)
+            tm = times.get(ename)
+            ind2d = (indices.reshape(-1, 128)
+                     if indices.shape[0] % 128 == 0 else None)
+            times2d = tm.reshape(-1, 128) if tm is not None else None
+            maxdeg = max_degrees[ename]
+            et_t = tm if seed_time is not None else None
+            st_t = seed_time if tm is not None else None
+            if w is not None:
+                out = sample_ops.weighted_sample(
+                    hkey, indptr, indices, w, safe, fan[h],
+                    max_degree=maxdeg, indices2d=ind2d,
+                    weights2d=w.reshape(-1, 128),
+                    edge_times=et_t, times2d=times2d, seed_time=st_t)
+            elif tm is not None and seed_time is not None:
+                out = sample_ops.masked_uniform_sample(
+                    hkey, indptr, indices, safe, fan[h],
+                    max_degree=maxdeg, indices2d=ind2d,
+                    edge_times=tm, times2d=times2d,
+                    seed_time=seed_time)
+            else:
+                out = sample_ops.uniform_sample(
+                    hkey, indptr, indices, safe, fan[h],
+                    indices2d=ind2d, max_degree=maxdeg)
+            vm = valid_seed[:, None]
+            neighbors = jnp.where(vm, out.neighbors, -1)
+            edge_ids = jnp.where(
+                vm & (out.edge_ids >= 0), out.edge_ids + edge_bases[ename],
+                -1)
+            per_type_out[ename] = (neighbors, edge_ids)
+            all_neighbors.append(neighbors.reshape(-1))
+        if dedup:
             flat = jnp.concatenate(all_neighbors) if all_neighbors else (
                 jnp.zeros((0,), jnp.int32))
             uniq = append_unique(targets, flat, max_unique=caps[h + 1])
             # split the neighbor map back per edge type
             blocks = {}
             off = 0
-            for et in self.etypes:
-                ename = _etype_str(et)
+            for ename in etype_names:
                 if ename not in per_type_out:
                     continue
                 neighbors, edge_ids = per_type_out[ename]
                 n = neighbors.size
-                nl = uniq.neighbor_map[off: off + n].reshape(neighbors.shape)
+                nl = uniq.neighbor_map[off: off + n].reshape(
+                    neighbors.shape)
                 off += n
                 blocks[ename] = HopBlock(
-                    neigh_local=nl, neigh_global=neighbors, edge_ids=edge_ids)
+                    neigh_local=nl, neigh_global=neighbors,
+                    edge_ids=edge_ids)
             hops.append(blocks)
             levels.append(uniq.unique_nodes)
             level_counts.append(
                 jnp.sum(uniq.unique_nodes >= 0).astype(jnp.int32))
-            if seed_time is not None:
-                # sampled nodes inherit their seed's time (min over
-                # assignments), as in the homogeneous path
-                big = jnp.asarray(jnp.iinfo(jnp.int32).max, seed_time.dtype)
-                cap = caps[h + 1]
-                tf_full = jnp.full((cap,), big, seed_time.dtype)
-                tf_full = tf_full.at[: targets.shape[0]].set(seed_time)
-                for et in self.etypes:
-                    ename = _etype_str(et)
-                    if ename not in blocks:
-                        continue
-                    nl = blocks[ename].neigh_local.reshape(-1)
-                    fanh = self.fanouts[ename][h]
-                    flat_t = jnp.repeat(seed_time, fanh)
-                    ok = nl >= 0
-                    tf_full = tf_full.at[
-                        jnp.where(ok, nl, cap - 1)].min(
-                        jnp.where(ok, flat_t, big))
-                seed_time = tf_full
-        return HeteroMultihopBatch(
-            levels=levels, level_counts=level_counts, hops=hops,
-            seed_count=level_counts[0])
-
-    def sample(self, key, seeds, node_times=None) -> HeteroMultihopBatch:
-        return self._sample_jit(
-            key, seeds, node_times, batch_size=int(seeds.shape[0]))
+        else:
+            # static layout: [targets | per-etype blocks row-major]
+            t = targets.shape[0]
+            blocks = {}
+            layout = []
+            parts = [targets]
+            pos_start = t
+            for ename in etype_names:
+                if ename not in per_type_out:
+                    continue
+                neighbors, edge_ids = per_type_out[ename]
+                f = neighbors.shape[1]
+                pos = (pos_start
+                       + jnp.arange(t * f, dtype=jnp.int32)).reshape(t, f)
+                nl = jnp.where(neighbors >= 0, pos, -1)
+                blocks[ename] = HopBlock(
+                    neigh_local=nl, neigh_global=neighbors,
+                    edge_ids=edge_ids)
+                layout.append((ename, pos_start, f))
+                parts.append(neighbors.reshape(-1))
+                pos_start += t * f
+            hops.append(blocks)
+            layouts.append(tuple(layout))
+            next_level = jnp.concatenate(parts)
+            levels.append(next_level)
+            level_counts.append(
+                jnp.sum(next_level >= 0).astype(jnp.int32))
+        if seed_time is not None:
+            # sampled nodes inherit their seed's time (min over
+            # assignments), as in the homogeneous path; sized to the
+            # actual level (== caps[h+1] for dedup, == the positional
+            # layout length for dedup=False)
+            big = jnp.asarray(jnp.iinfo(jnp.int32).max, seed_time.dtype)
+            cap = int(levels[-1].shape[0])
+            tf_full = jnp.full((cap,), big, seed_time.dtype)
+            tf_full = tf_full.at[: targets.shape[0]].set(seed_time)
+            for ename in etype_names:
+                if ename not in blocks:
+                    continue
+                nl = blocks[ename].neigh_local.reshape(-1)
+                fanh = fanouts[ename][h]
+                flat_t = jnp.repeat(seed_time, fanh)
+                ok = nl >= 0
+                tf_full = tf_full.at[
+                    jnp.where(ok, nl, cap - 1)].min(
+                    jnp.where(ok, flat_t, big))
+            seed_time = tf_full
+    return HeteroMultihopBatch(
+        levels=levels, level_counts=level_counts, hops=hops,
+        seed_count=level_counts[0],
+        layouts=tuple(layouts) if not dedup else ())
