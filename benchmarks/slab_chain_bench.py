@@ -72,8 +72,10 @@ def main():
     log(f"data ready: {edges/1e6:.1f}M in-band edges (chain timing, "
         f"REPS={REPS})")
 
-    def timed(name, step, x0, const, e=None):
-        """step(x, *const) -> next x (same shape/dtype); chained."""
+    def timed(name, step, x0, const, e=None, actual_bytes=None):
+        """step(x, *const) -> next x (same shape/dtype); chained.
+        actual_bytes: real HBM traffic per pass (DMA in + out) for the
+        actual-GB/s column (VERDICT r4 #3c)."""
         e = e or edges
 
         @jax.jit
@@ -93,7 +95,13 @@ def main():
         float(xc.reshape(-1)[0])
         dt = max(time.perf_counter() - t0, 1e-9) / (OUTER * REPS)
         eff = e * F * 4 / dt / 1e9
-        log(f"{name}: {dt*1e3:.1f} ms -> {eff:.0f} GB/s effective")
+        act = ""
+        if actual_bytes is not None:
+            gbs = actual_bytes / dt / 1e9
+            act = (f" | actual {gbs:.0f} GB/s"
+                   f" ({100 * gbs / 820:.0f}% of v5e peak)")
+        log(f"{name}: {dt*1e3:.1f} ms -> {eff:.0f} GB/s effective{act}")
+        return dt
 
     # ---- SpMM: x <- mean-aggregate(x) (bounded) ----
     def spmm_ell(xc, g_ell, cd):
@@ -106,14 +114,25 @@ def main():
         return slab_spmm(gg, xc, reduce="mean", compute_dtype=cd,
                          interpret=False)
 
+    # actual HBM bytes per pass: bits + (G+2)/G-amplified x slab + out
+    from cugraph_gnn_tpu.ops.pallas.slab_kernel import _g_stack_for
+    g_st = _g_stack_for(nb)
+
+    def spmm_bytes(x_item, out_item):
+        return (N * 128 + N * F * x_item * (g_st + 2) / g_st
+                + N * F * out_item)
+
     timed("spmm ELL  f32 ", lambda xc, e_: spmm_ell(xc, e_, jnp.float32),
           x, (ell,))
     timed("spmm ELL  bf16", lambda xc, e_: spmm_ell(xc, e_, jnp.bfloat16),
           x, (ell,))
     timed("spmm bits f32 ", lambda xc, b_: spmm_bits(xc, b_, jnp.float32),
-          x, (bits,))
+          x, (bits,), actual_bytes=spmm_bytes(4, 4))
     timed("spmm bits bf16", lambda xc, b_: spmm_bits(xc, b_, jnp.bfloat16),
-          x, (bits,))
+          x, (bits,), actual_bytes=spmm_bytes(4, 4))
+    timed("spmm bits bf16-x (bf16 DMA)",
+          lambda xc, b_: spmm_bits(xc, b_, jnp.bfloat16),
+          x.astype(jnp.bfloat16), (bits,), actual_bytes=spmm_bytes(2, 2))
 
     # ---- attention fwd: x <- softmax-aggregate(x) (bounded) ----
     def attn_ell(xc, g_ell, ad, asx):
@@ -128,15 +147,37 @@ def main():
     timed("attn fwd bits ", attn_bits, x, (bits, a_d, a_s))
 
     # ---- attention bwd: g <- dx(g) / 4 (linear chain in g) ----
-    def bwd_bits(gc, g_bits, g_ell, xi, ad, asx, gm, gs, gt):
+    # actual HBM bytes per pass (one-pass kernel, H=1): bits + center
+    # stats (N,128 f32) + as_t margins + x slab (3x) + g center + dad
+    # out (N,128) + dx 3-plane out (N,3F) + das planes + epilogue
+    # (read dx3 + write dx)
+    def bwd_bytes(xg_item):
+        return (N * 128 + N * 128 * 4 + 3 * 8 * N * 4
+                + 3 * N * F * xg_item + N * F * xg_item
+                + N * 128 * 4 + N * 3 * F * 4 + 3 * 8 * N * 4
+                + N * 3 * F * 4 + N * F * 4)
+
+    def bwd_bits(gc, g_bits, g_ell, xi, ad, asx, gm, gs, gt, cd):
         pair = AttnSlabPair(fwd=base._replace(ell_bits=g_bits),
                             t_ell=g_ell)
         dx, dad, das = slab_attention_bwd(pair, xi, ad, asx, gm, gs, gt,
-                                          gc, interpret=False)
-        return dx * 0.25
+                                          gc, interpret=False,
+                                          compute_dtype=cd)
+        return (dx * 0.25).astype(gc.dtype)
 
-    timed("attn bwd bits onepass", bwd_bits, g,
-          (bits, ell, x, a_d, a_s, m_st, s_st, t_st))
+    timed("attn bwd bits onepass f32 ",
+          lambda gc, *a: bwd_bits(gc, *a, jnp.float32), g,
+          (bits, ell, x, a_d, a_s, m_st, s_st, t_st),
+          actual_bytes=bwd_bytes(4))
+    timed("attn bwd bits onepass bf16",
+          lambda gc, *a: bwd_bits(gc, *a, jnp.bfloat16), g,
+          (bits, ell, x, a_d, a_s, m_st, s_st, t_st),
+          actual_bytes=bwd_bytes(4))
+    timed("attn bwd bits onepass bf16 x/g",
+          lambda gc, *a: bwd_bits(gc, *a, jnp.bfloat16),
+          g.astype(jnp.bfloat16),
+          (bits, ell, x.astype(jnp.bfloat16), a_d, a_s, m_st, s_st,
+           t_st), actual_bytes=bwd_bytes(2))
 
     # ---- comparison variants at N/2 (full-scale two-orient bwd +
     # chain carry exceeds HBM; mh stat lanes pad 32x to lane tiles) ----

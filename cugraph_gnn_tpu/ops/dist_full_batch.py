@@ -141,7 +141,11 @@ def _shard_spmm_body(ell_local, x_local, fb_src, fb_dst, ell_w=None,
 
     weighted = ell_w is not None
     if use_bits:
-        kern = functools.partial(_slab_bits_kernel, compute_dtype)
+        # G=1 stacking: the sharded body keeps the 3 R-row slab specs
+        # (the halo-extended x makes the (G+2)R center layout awkward
+        # across shard boundaries)
+        kern = functools.partial(_slab_bits_kernel, r_blk, 1,
+                                 compute_dtype)
         ell_spec = pl.BlockSpec((r_blk, 128), lambda b: (b, 0))
     else:
         kern = functools.partial(_slab_kernel, k_width, weighted,
@@ -490,11 +494,16 @@ class DistFullBatchGraph:
                                        bits.dtype)])
                 return put_global(bits, sh)
 
+            # transpose structures exist only on the no-bits fallback
+            # path (block_rows > 341): with bits the one-pass backward
+            # runs the forward orientation alone, so building and
+            # device-placing t_ell would waste host time + (n_pad, K)
+            # int32 of HBM per graph (ADVICE r4)
             self._attn = dict(
                 ell=padded(np.asarray(pair.fwd.ell)),
-                t_ell=padded(np.asarray(pair.t_ell)),
+                t_ell=(None if pair.t_ell is None
+                       else padded(np.asarray(pair.t_ell))),
                 bits=padded_bits(pair.fwd.ell_bits),
-                t_bits=padded_bits(pair.t_bits),
                 fb_dst_bucketed=(put_global(d_src, sh),
                                  put_global(d_dst, sh)),
                 fb_src_bucketed=(put_global(s_src, sh),
@@ -742,11 +751,12 @@ class DistFullBatchGraph:
         interpret = jax.default_backend() != "tpu"
         r_blk, world, axis, book = (self._r_blk, self._world, self.axis,
                                     self._book)
+        # reached only on the no-bits fallback path (the bits check
+        # above routed to the one-pass backward), so the adjacencies
+        # are always the ELL pair (ADVICE r4: use_bits was dead here)
         k_f = st["ell"].shape[1]
         k_t = st["t_ell"].shape[1]
-        use_bits = (st["bits"] is not None and st["t_bits"] is not None)
-        adj_f = st["bits"] if use_bits else st["ell"]
-        adj_t = st["t_bits"] if use_bits else st["t_ell"]
+        adj_f, adj_t = st["ell"], st["t_ell"]
         w_f, w_t = adj_f.shape[1], adj_t.shape[1]
         fb_src_l, fb_dst_g = st["fb_src_bucketed"]
         AD, M, S, T, AS = 0, 1, 2, 3, 4  # lane layout (slab_attn_grad)
@@ -795,7 +805,7 @@ class DistFullBatchGraph:
             # fused: both orientations in one pass, x/g/stats slabs
             # DMA'd once (same win as the single-chip fused bwd)
             dad, dx, das = pl.pallas_call(
-                ft.partial(_bwd_fused_kernel, k_f, k_t, use_bits,
+                ft.partial(_bwd_fused_kernel, k_f, k_t,
                            negative_slope, jnp.float32),
                 grid=(nb_local,),
                 in_specs=[ell_spec(w_f), ell_spec(w_t)] + slabs(128)
@@ -990,11 +1000,10 @@ class DistFullBatchGraph:
         interpret = jax.default_backend() != "tpu"
         r_blk, world, axis, book = (self._r_blk, self._world, self.axis,
                                     self._book)
+        # no-bits fallback path only (see one-pass route above)
         k_f = st["ell"].shape[1]
         k_t = st["t_ell"].shape[1]
-        use_bits = (st["bits"] is not None and st["t_bits"] is not None)
-        adj_fa = st["bits"] if use_bits else st["ell"]
-        adj_ta = st["t_bits"] if use_bits else st["t_ell"]
+        adj_fa, adj_ta = st["ell"], st["t_ell"]
         w_f, w_t = adj_fa.shape[1], adj_ta.shape[1]
         fb_src_l, fb_dst_g = st["fb_src_bucketed"]
 
@@ -1039,7 +1048,7 @@ class DistFullBatchGraph:
                         for o in range(3)]
 
             dad, dx, das = pl.pallas_call(
-                ft.partial(_bwd_fused_kernel_mh, k_f, k_t, use_bits,
+                ft.partial(_bwd_fused_kernel_mh, k_f, k_t,
                            heads, fh, negative_slope, jnp.float32),
                 grid=(nb_local,),
                 in_specs=[ell_spec(w_f), ell_spec(w_t)] + slabs(128)

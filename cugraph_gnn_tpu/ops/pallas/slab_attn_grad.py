@@ -59,25 +59,34 @@ _AD, _M, _S, _T, _AS = 0, 1, 2, 3, 4
 
 
 class AttnSlabPair(NamedTuple):
-    """Symmetric banded split: `fwd` is a regular SlabGraph (consumable
-    by slab_attention_spmm); `t_ell` is the transpose-orientation ELL
+    """Banded split for attention: `fwd` is a regular SlabGraph
+    (consumable by slab_attention_spmm).  When the bit-packed adjacency
+    is available (3R <= 1024) the one-pass backward needs ONLY the
+    forward orientation, so `t_ell`/`t_bits` are None and edges are
+    kept by forward rank alone (hub columns stay on the fast path —
+    ADVICE r4).  Without bits, `t_ell` is the transpose-orientation ELL
     over the SAME in-band edge set (row = source node, entries =
-    slab-local destination rows).  `t_bits` is the transpose
-    orientation's bit-packed adjacency (None when 3R > 1024), mirroring
-    SlabGraph.ell_bits — the backward kernels decode it instead of
-    running K compare-accumulate passes per head."""
+    slab-local destination rows) with a symmetric per-row cap so the
+    two-orientation kernels cover identical edges."""
 
     fwd: SlabGraph
-    t_ell: jax.Array
+    t_ell: Optional[jax.Array] = None
     t_bits: Optional[jax.Array] = None
 
 
 def build_attention_slab_pair(indptr, indices, *, block_rows: int = 256,
                               max_k: int = 64,
                               to_device: bool = True) -> AttnSlabPair:
-    """Split a CSR into a banded ELL that is valid in BOTH orientations
-    (|col-row| <= block_rows, per-row cap max_k forward AND backward)
-    plus a fallback COO.  One-time host preprocessing.
+    """Split a CSR into a banded ELL plus fallback COO for the fused
+    attention kernels.  One-time host preprocessing.
+
+    With bit planes available (3R <= 1024): forward-rank cap only, no
+    transpose structures (the one-pass backward runs over the forward
+    orientation; building and device-placing t_ell/t_bits wasted host
+    time + device memory and the symmetric cap spilled hub columns to
+    the fallback unnecessarily — ADVICE r4).  Otherwise: the cap
+    applies in BOTH orientations so the two-orientation backward covers
+    exactly the banded edges.
 
     to_device=False keeps every array as host numpy (callers that place
     the structures themselves — e.g. the sharded path — and callers
@@ -101,40 +110,50 @@ def build_attention_slab_pair(indptr, indices, *, block_rows: int = 256,
     # dedupe parallel in-band edges (multiplicity-free bit decode);
     # duplicates ride the exact fallback
     cand &= _first_occurrence_mask(rows, cols, cand, n)
-    # transpose rank within column among candidates (stable CSR order)
-    pos = np.nonzero(cand)[0]
-    order = np.argsort(cols[pos], kind="stable")
-    pc = pos[order]
-    colc = cols[pc]
-    starts = np.concatenate([[0], np.nonzero(colc[1:] != colc[:-1])[0] + 1])
-    run_start = np.zeros(len(pc), np.int64)
-    run_start[starts] = starts
-    run_start = np.maximum.accumulate(run_start)
-    rank_t = np.arange(len(pc), dtype=np.int64) - run_start  # 0-based
-    keep = np.zeros(len(rows), bool)
-    kept_pc = pc[rank_t < max_k]
-    keep[kept_pc] = True
 
     def _width(r):
         return max(-(-max(int(r), 1) // 8) * 8, 8)
 
-    k_f = _width(rank_f[keep].max()) if keep.any() else 8
-    k_t = _width((rank_t[rank_t < max_k].max() + 1) if keep.any() else 1)
+    bits_ok = 3 * r_blk <= 1024
+    if bits_ok:
+        # one-pass backward: forward orientation only
+        keep = cand
+        t_ell = t_bits = None
+        k_t = None
+    else:
+        # transpose rank within column among candidates (stable CSR
+        # order); symmetric cap for the two-orientation kernels
+        pos = np.nonzero(cand)[0]
+        order = np.argsort(cols[pos], kind="stable")
+        pc = pos[order]
+        colc = cols[pc]
+        starts = np.concatenate(
+            [[0], np.nonzero(colc[1:] != colc[:-1])[0] + 1])
+        run_start = np.zeros(len(pc), np.int64)
+        run_start[starts] = starts
+        run_start = np.maximum.accumulate(run_start)
+        rank_t = np.arange(len(pc), dtype=np.int64) - run_start  # 0-based
+        keep = np.zeros(len(rows), bool)
+        kept_pc = pc[rank_t < max_k]
+        keep[kept_pc] = True
+        k_t = _width((rank_t[rank_t < max_k].max() + 1) if keep.any()
+                     else 1)
+        t_ell = np.full((n_pad, k_t), -1, np.int32)
+        kt = rank_t[rank_t < max_k]
+        t_blk = cols[kept_pc] // r_blk
+        t_slab_local = (rows[kept_pc] - t_blk * r_blk
+                        + r_blk).astype(np.int32)
+        t_ell[cols[kept_pc], kt] = t_slab_local
+        t_bits = None
 
+    k_f = _width(rank_f[keep].max()) if keep.any() else 8
     ell = np.full((n_pad, k_f), -1, np.int32)
     blk = rows[keep] // r_blk
     ell[rows[keep], rank_f[keep] - 1] = (
         cols[keep] - blk * r_blk + r_blk).astype(np.int32)
-
-    t_ell = np.full((n_pad, k_t), -1, np.int32)
-    kt = rank_t[rank_t < max_k]
-    t_blk = cols[kept_pc] // r_blk
-    t_slab_local = (rows[kept_pc] - t_blk * r_blk + r_blk).astype(np.int32)
-    t_ell[cols[kept_pc], kt] = t_slab_local
     ell_bits = _pack_bits(
         rows[keep], (cols[keep] - (rows[keep] // r_blk) * r_blk
                      + r_blk).astype(np.int32), n_pad, r_blk)
-    t_bits = _pack_bits(cols[kept_pc], t_slab_local, n_pad, r_blk)
 
     fb = valid & ~keep
     pad = (-int(fb.sum())) % 128
@@ -151,7 +170,7 @@ def build_attention_slab_pair(indptr, indices, *, block_rows: int = 256,
         degrees=conv(degrees),
         num_rows=n, block_rows=r_blk, n_blocks=n_blocks,
         ell_bits=copt(ell_bits))
-    return AttnSlabPair(fwd=fwd, t_ell=conv(t_ell), t_bits=copt(t_bits))
+    return AttnSlabPair(fwd=fwd, t_ell=copt(t_ell), t_bits=copt(t_bits))
 
 
 def _bwd_onepass_kernel(heads, f, sub, negative_slope, compute_dtype,
@@ -254,14 +273,19 @@ def _onepass_bwd(graph: SlabGraph, x, alpha_dst, alpha_src, m, s, t, g,
         v = v.astype(dtype).reshape(n, -1)
         return v if n == n_pad else jnp.pad(v, ((0, n_pad - n), (0, 0)))
 
-    # center stats, lane layout slot*H + h, built with ONE concat (the
-    # per-slot dynamic_update_slice build cost 4 full passes)
-    s_col = jnp.pad(s_safe.astype(jnp.float32).reshape(n, heads),
-                    ((0, n_pad - n), (0, 0)), constant_values=1.0)
-    st_pad = jnp.concatenate(
-        [_rows_to_npad(alpha_dst), _rows_to_npad(m), s_col,
-         _rows_to_npad(t),
-         jnp.zeros((n_pad, 128 - 4 * heads), jnp.float32)], axis=1)
+    # center stats, lane layout slot*H + h, built as ONE fused select
+    # pass (lane_pack; a concat of narrow columns costs one full-array
+    # pass PER OPERAND — ~20 ms of the 47 ms r4 backward, measured
+    # round 5).  s rides with padding rows forced to 1 (divisor).
+    from cugraph_gnn_tpu.ops.pallas.slab_kernel import lane_pack
+    cols = []
+    for slot, v in enumerate((alpha_dst, m, s_safe, t)):
+        vv = v.astype(jnp.float32).reshape(n, heads)
+        if slot == 2 and n != n_pad:
+            vv = jnp.pad(vv, ((0, n_pad - n), (0, 0)),
+                         constant_values=1.0)
+        cols.extend([vv[:, h] for h in range(heads)])
+    st_pad = lane_pack(cols, 128, n_pad)
     sub = max(-(-heads // 8) * 8, 8)
     # slab-side alpha_src, PRE-transposed: (sub, n_pad), sublane h
     as_t = jnp.zeros((sub, n_pad), jnp.float32)
@@ -304,17 +328,14 @@ def _onepass_bwd(graph: SlabGraph, x, alpha_dst, alpha_src, m, s, t, g,
     return dx, dad, das
 
 
-def _onehot_expzm(idx, z, m_row_or_col, negative_slope, k_width,
-                  use_bits):
-    """a[r, c] = adjacency * exp(lrelu(z) - m); adjacency decoded from
-    bit planes (one select) or accumulated from ELL entries (K passes,
-    the pre-round-3 VPU bound)."""
+def _onehot_expzm(idx, z, m_row_or_col, negative_slope, k_width):
+    """a[r, c] = adjacency * exp(lrelu(z) - m), adjacency accumulated
+    from ELL entries (K passes).  Only the no-bits fallback kernels use
+    this — with bit planes the one-pass backward intercepts (ADVICE
+    r4: the bits branch here was unreachable)."""
     r_blk = idx.shape[0]
     lr = jnp.where(z >= 0, z, jnp.float32(negative_slope) * z)
     expzm = jnp.exp(lr - m_row_or_col)
-    if use_bits:
-        a = _decode_bits(idx, r_blk)
-        return jnp.where(a > 0, expzm, 0.0)
     iota = jax.lax.broadcasted_iota(jnp.int32, (r_blk, z.shape[1]), 1)
     p = jnp.zeros(z.shape, jnp.float32)
     for k in range(k_width):
@@ -322,7 +343,7 @@ def _onehot_expzm(idx, z, m_row_or_col, negative_slope, k_width,
     return p
 
 
-def _bwd_fused_kernel(k_f, k_t, use_bits, negative_slope, compute_dtype,
+def _bwd_fused_kernel(k_f, k_t, negative_slope, compute_dtype,
                       ellf_ref, ellt_ref, st0, st1, st2,
                       x0, x1, x2, g0, g1, g2,
                       dad_ref, dx_ref, das_ref):
@@ -349,8 +370,7 @@ def _bwd_fused_kernel(k_f, k_t, use_bits, negative_slope, compute_dtype,
     s = st_blk[:, _S:_S + 1]
     t = st_blk[:, _T:_T + 1]
     z = ad + as_row                                                 # (R, 3R)
-    alpha = _onehot_expzm(ellf_ref[...], z, m, negative_slope, k_f,
-                          use_bits) / s
+    alpha = _onehot_expzm(ellf_ref[...], z, m, negative_slope, k_f) / s
     gx = jax.lax.dot_general(
         g1[...].astype(cd), slab_x.astype(cd),
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -367,7 +387,7 @@ def _bwd_fused_kernel(k_f, k_t, use_bits, negative_slope, compute_dtype,
     as_col = st_blk[:, _AS:_AS + 1]                                 # (R, 1)
     z2 = as_col + ad_row                                            # (R, 3R)
     alpha_t = _onehot_expzm(ellt_ref[...], z2, m_row, negative_slope,
-                            k_t, use_bits) / s_row
+                            k_t) / s_row
     dx = jnp.dot(alpha_t.astype(cd), slab_g.astype(cd),
                  preferred_element_type=jnp.float32)                # (R, F)
     gx_t = jax.lax.dot_general(
@@ -432,11 +452,9 @@ def slab_attention_bwd(pair: AttnSlabPair, x, alpha_dst, alpha_src,
     ell_spec = lambda width: pl.BlockSpec((r_blk, width), lambda b: (b, 0))
     out_spec = lambda width: pl.BlockSpec((r_blk, width), lambda b: (b, 0))
 
-    use_bits = graph.ell_bits is not None and pair.t_bits is not None
-    adj_f = graph.ell_bits if use_bits else graph.ell
-    adj_t = pair.t_bits if use_bits else pair.t_ell
+    adj_f, adj_t = graph.ell, pair.t_ell
     dad_b, dx_b, das_b = pl.pallas_call(
-        functools.partial(_bwd_fused_kernel, k_f, k_t, use_bits,
+        functools.partial(_bwd_fused_kernel, k_f, k_t,
                           negative_slope, compute_dtype),
         grid=(nb,),
         in_specs=[ell_spec(adj_f.shape[1]), ell_spec(adj_t.shape[1])]
@@ -493,9 +511,7 @@ def _add_fallback_grads(graph, x, alpha_dst, alpha_src, m, s_safe, t, g,
 MAX_PACKED_HEADS = 25
 
 
-def _mh_cnt(idx, r_blk, k_width, use_bits):
-    if use_bits:
-        return _decode_bits(idx, r_blk)
+def _mh_cnt(idx, r_blk, k_width):
     iota = jax.lax.broadcasted_iota(jnp.int32, (r_blk, 3 * r_blk), 1)
     cnt = jnp.zeros((r_blk, 3 * r_blk), jnp.float32)
     for k in range(k_width):
@@ -503,7 +519,7 @@ def _mh_cnt(idx, r_blk, k_width, use_bits):
     return cnt
 
 
-def _bwd_fused_kernel_mh(k_f, k_t, use_bits, heads, f, negative_slope,
+def _bwd_fused_kernel_mh(k_f, k_t, heads, f, negative_slope,
                          compute_dtype,
                          ellf_ref, ellt_ref, st0, st1, st2,
                          x0, x1, x2, g0, g1, g2,
@@ -520,8 +536,8 @@ def _bwd_fused_kernel_mh(k_f, k_t, use_bits, heads, f, negative_slope,
     st_s = jnp.concatenate([st0[...], st1[...], st2[...]], axis=0)
     st_t = jnp.transpose(st_s, (1, 0))                              # (128,3R)
     blk = st1[...]
-    cnt_f = _mh_cnt(ellf_ref[...], r_blk, k_f, use_bits)
-    cnt_t = _mh_cnt(ellt_ref[...], r_blk, k_t, use_bits)
+    cnt_f = _mh_cnt(ellf_ref[...], r_blk, k_f)
+    cnt_t = _mh_cnt(ellt_ref[...], r_blk, k_t)
     edge_f = cnt_f > 0
     edge_t = cnt_t > 0
     ninf = jnp.float32(-jnp.inf)
@@ -624,11 +640,9 @@ def slab_attention_bwd_mh(pair: AttnSlabPair, x, alpha_dst, alpha_src,
     ell_spec = lambda width: pl.BlockSpec((r_blk, width), lambda b: (b, 0))
     out_spec = lambda width: pl.BlockSpec((r_blk, width), lambda b: (b, 0))
 
-    use_bits = graph.ell_bits is not None and pair.t_bits is not None
-    adj_f = graph.ell_bits if use_bits else graph.ell
-    adj_t = pair.t_bits if use_bits else pair.t_ell
+    adj_f, adj_t = graph.ell, pair.t_ell
     dad_b, dx_b, das_b = pl.pallas_call(
-        functools.partial(_bwd_fused_kernel_mh, k_f, k_t, use_bits,
+        functools.partial(_bwd_fused_kernel_mh, k_f, k_t,
                           heads, f, negative_slope, compute_dtype),
         grid=(nb,),
         in_specs=[ell_spec(adj_f.shape[1]), ell_spec(adj_t.shape[1])]

@@ -195,7 +195,8 @@ def _slab_kernel(k_width: int, weighted: bool, compute_dtype, *refs):
     o_ref[...] = out.astype(o_ref.dtype)
 
 
-def _slab_bits_kernel(compute_dtype, bits_ref, x0, x1, x2, o_ref):
+def _slab_bits_kernel(r_blk: int, g_stack: int, compute_dtype,
+                      bits_ref, xm0, xc, xm1, o_ref):
     """Unweighted slab aggregation with the bit-packed adjacency.
 
     Round-4 plane-matmul form: the bit-plane layout (slab column c at
@@ -203,38 +204,56 @@ def _slab_bits_kernel(compute_dtype, bits_ref, x0, x1, x2, o_ref):
     multiplies exactly the 128-row x stripe [b*128, (b+1)*128) — so the
     aggregation is 3R/128 small MXU dots with `(bits >> b) & 1` as the
     left operand.  No dense (R, 3R) one-hot is ever built: one bit-
-    extract pass per plane (~16x less VPU work than the decode) and
-    every dot has the MXU-native 128 contraction.  Measured parity with
-    the decode form at products scale (13.8 vs 13.9 ms — the kernel is
-    not VPU-bound there), kept for the lower VMEM footprint.  Requires
-    R % 128 == 0 (the builder's block sizes); falls back to decode +
-    one big dot otherwise."""
-    r_blk = bits_ref.shape[0]
+    extract pass per plane and every dot has the MXU-native 128
+    contraction.
+
+    Round-5 G-stacking: each grid step processes ``g_stack`` R-row
+    sub-blocks from ONE (G+2)R-row slab (xm0 | xc | xm1) — the 3-part
+    layout re-fetched every row 3x; the stacked slab's margin amortizes
+    to (G+2)/G, taking the kernel from DMA-amplification-bound to near
+    the HBM roofline (chain-timed, PERF_NOTES round 5).  Sub-block j's
+    3R window is slab rows [jR, jR + 3R).  Requires R % 128 == 0 (the
+    builder's block sizes); falls back to decode + one big dot for
+    g_stack == 1 otherwise."""
     f = o_ref.shape[1]
     if r_blk % 128 == 0:
-        bits = bits_ref[...].astype(jnp.int32) & 0xFF
-        parts = (x0, x1, x2)
-        acc = jnp.zeros((r_blk, f), jnp.float32)
-        for b in range(3 * r_blk // 128):
-            m_b = ((bits >> b) & 1).astype(compute_dtype)     # (R, 128)
-            part = parts[(b * 128) // r_blk]
-            off = (b * 128) % r_blk
-            x_b = part[...][off:off + 128]                    # (128, F)
-            acc = acc + jnp.dot(m_b, x_b.astype(compute_dtype),
-                                preferred_element_type=jnp.float32)
-        o_ref[...] = acc.astype(o_ref.dtype)
+        v = jnp.concatenate([xm0[...], xc[...], xm1[...]], axis=0)
+        bits_all = bits_ref[...].astype(jnp.int32) & 0xFF
+        for j in range(g_stack):
+            bits = bits_all[j * r_blk:(j + 1) * r_blk]
+            acc = jnp.zeros((r_blk, f), jnp.float32)
+            for b in range(3 * r_blk // 128):
+                m_b = ((bits >> b) & 1).astype(compute_dtype)  # (R, 128)
+                x_b = v[j * r_blk + b * 128:
+                        j * r_blk + b * 128 + 128]            # (128, F)
+                acc = acc + jnp.dot(m_b, x_b.astype(compute_dtype),
+                                    preferred_element_type=jnp.float32)
+            o_ref[j * r_blk:(j + 1) * r_blk] = acc.astype(o_ref.dtype)
         return
-    slab = jnp.concatenate([x0[...], x1[...], x2[...]], axis=0)  # (3R, F)
+    assert g_stack == 1, "non-128-multiple blocks use the decode path"
+    slab = jnp.concatenate([xm0[...], xc[...], xm1[...]], axis=0)  # (3R, F)
     a = _decode_bits(bits_ref[...], r_blk)
     out = jnp.dot(a.astype(compute_dtype), slab.astype(compute_dtype),
                   preferred_element_type=jnp.float32)
     o_ref[...] = out.astype(o_ref.dtype)
 
 
+def _g_stack_for(nb: int, g_max: int = 8) -> int:
+    """Largest G in {8, 4, 2, 1} dividing the block count."""
+    for g in (8, 4, 2):
+        if g <= g_max and nb % g == 0:
+            return g
+    return 1
+
+
 def slab_spmm(graph: SlabGraph, x, reduce: str = "sum", *,
               compute_dtype=jnp.bfloat16, interpret: Optional[bool] = None):
     """out[r] = reduce over CSR row r of w * x[cols] via the slab MXU
-    kernel + segment fallback.  reduce: 'sum' | 'mean'.  x: (N, F)."""
+    kernel + segment fallback.  reduce: 'sum' | 'mean'.  x: (N, F).
+
+    Pass bf16 ``x`` for bf16 slab DMA (halves the dominant HBM
+    traffic); the MXU accumulates f32 either way and the output is
+    returned in x's dtype."""
     if reduce not in ("sum", "mean"):
         raise ValueError(f"slab_spmm supports sum/mean, got {reduce!r}")
     if interpret is None:
@@ -243,25 +262,36 @@ def slab_spmm(graph: SlabGraph, x, reduce: str = "sum", *,
     r_blk = graph.block_rows
     nb = graph.n_blocks
     n_pad = nb * r_blk
-    # x at n_pad rows, no +-R slab margin: slab parts use CLAMPED block
-    # indices — out-of-range slab rows carry neighbor-block data but no
-    # ELL entry / adjacency bit ever references them (|col-row| <= R
-    # and cols in [0, n)), so their coefficient is 0.  Saves a full
-    # (N, F) copy per call (round-4 glue discipline).
+    # x at n_pad rows, no +-R slab margin: slab margins use CLAMPED
+    # block indices — out-of-range slab rows carry neighbor-block data
+    # but no ELL entry / adjacency bit ever references them
+    # (|col-row| <= R and cols in [0, n)), so their coefficient is 0.
+    # Saves a full (N, F) copy per call (round-4 glue discipline).
     x_pad = x if n == n_pad else jnp.pad(x, ((0, n_pad - n), (0, 0)))
 
     weighted = graph.ell_w is not None
-    x_specs = [
-        pl.BlockSpec((r_blk, f),
-                     lambda b, o=o: (jnp.clip(b + o - 1, 0, nb - 1), 0))
-        for o in range(3)
-    ]
     if not weighted and graph.ell_bits is not None:
-        # bit-packed fast path: 128B of adjacency per row, decoded on
-        # the VPU in a handful of passes
-        kern = functools.partial(_slab_bits_kernel, compute_dtype)
-        in_specs = [pl.BlockSpec((r_blk, 128), lambda b: (b, 0))]
-        args = [graph.ell_bits]
+        # bit-packed fast path: 128B of adjacency per row + G-stacked
+        # slabs (round 5: margin amplification (G+2)/G instead of 3x)
+        g = _g_stack_for(nb) if r_blk % 128 == 0 else 1
+        kern = functools.partial(_slab_bits_kernel, r_blk, g,
+                                 compute_dtype)
+        in_specs = [
+            pl.BlockSpec((g * r_blk, 128), lambda b: (b, 0)),
+            # leading margin (R rows), center (G*R rows), trailing (R)
+            pl.BlockSpec((r_blk, f),
+                         lambda b: (jnp.clip(b * g - 1, 0, nb - 1), 0)),
+            pl.BlockSpec((g * r_blk, f), lambda b: (b, 0)),
+            pl.BlockSpec((r_blk, f),
+                         lambda b: (jnp.clip((b + 1) * g, 0, nb - 1), 0)),
+        ]
+        args = [graph.ell_bits, x_pad, x_pad, x_pad]
+        grid = (nb // g,)
+        out_spec = pl.BlockSpec((g * r_blk, f), lambda b: (b, 0))
+        # bf16 x -> bf16 band output (f32 accumulation in-kernel; the
+        # fallback add and mean divide below promote back to f32):
+        # halves the output write on the bf16 training path
+        out_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
     else:
         kern = functools.partial(
             _slab_kernel, graph.ell.shape[1], weighted, compute_dtype)
@@ -273,14 +303,21 @@ def slab_spmm(graph: SlabGraph, x, reduce: str = "sum", *,
                 pl.BlockSpec((r_blk, graph.ell.shape[1]),
                              lambda b: (b, 0)))
             args.append(graph.ell_w)
-    in_specs += x_specs
-    args += [x_pad, x_pad, x_pad]
+        in_specs += [
+            pl.BlockSpec((r_blk, f),
+                         lambda b, o=o: (jnp.clip(b + o - 1, 0, nb - 1), 0))
+            for o in range(3)
+        ]
+        args += [x_pad, x_pad, x_pad]
+        grid = (nb,)
+        out_spec = pl.BlockSpec((r_blk, f), lambda b: (b, 0))
+        out_dtype = jnp.float32
     out = pl.pallas_call(
         kern,
-        grid=(nb,),
+        grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((r_blk, f), lambda b: (b, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_pad, f), jnp.float32),
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, f), out_dtype),
         interpret=interpret,
     )(*args)[:n]
 
@@ -297,6 +334,24 @@ def slab_spmm(graph: SlabGraph, x, reduce: str = "sum", *,
 # ---------------------------------------------------------------------------
 # Fused attention (SDDMM + edge softmax + weighted SpMM) over the slab
 # ---------------------------------------------------------------------------
+
+
+def lane_pack(cols, total_lanes: int, num_rows: int):
+    """(num_rows, total_lanes) f32 with ``cols[j]`` ((N,) or (N,1)
+    vectors) in lane j and zeros elsewhere, built as ONE fused
+    select pass.  NEVER build such stats arrays with a concat of
+    narrow columns: XLA materializes one full-array pass PER OPERAND
+    (~20 ms at 2.45M rows on v5e — measured round 5, the single
+    largest cost of the attention backward call).  Input vectors
+    shorter than num_rows are zero-padded (rank-1 pads are compact)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (num_rows, total_lanes), 1)
+    out = jnp.zeros((num_rows, total_lanes), jnp.float32)
+    for j, v in enumerate(cols):
+        v = v.astype(jnp.float32).reshape(-1)
+        if v.shape[0] != num_rows:
+            v = jnp.pad(v, (0, num_rows - v.shape[0]))
+        out = jnp.where(lane == j, v[:, None], out)
+    return out
 
 
 def _attn_cnt(ell_or_bits, r_blk, k_width, use_bits):
@@ -375,14 +430,16 @@ def slab_attention_spmm_mh(graph: SlabGraph, x, alpha_dst, alpha_src, *,
     # block indices (out-of-range slab rows are masked by the
     # adjacency); alpha_src rides pre-transposed (sub, n_pad); center
     # alpha_dst is one lane-layout block; m/s pack into one output.
-    def _rows_to_npad(v):
-        v = v.astype(jnp.float32).reshape(n, -1)
+    def _rows_to_npad(v, dtype=jnp.float32):
+        # x keeps its own dtype (bf16 features ride bf16 slab DMA; the
+        # f32 round-trip materialized a full (N, H*F) f32 copy per call
+        # even when n == n_pad — ADVICE r4); stats stay f32
+        v = v.astype(dtype).reshape(n, -1)
         return v if n == n_pad else jnp.pad(v, ((0, n_pad - n), (0, 0)))
 
-    x_pad = _rows_to_npad(x).astype(x.dtype)
-    ad_pad = jnp.concatenate(
-        [_rows_to_npad(alpha_dst),
-         jnp.zeros((n_pad, 128 - heads), jnp.float32)], axis=1)
+    x_pad = _rows_to_npad(x, x.dtype)
+    ad2 = alpha_dst.astype(jnp.float32).reshape(n, heads)
+    ad_pad = lane_pack([ad2[:, h] for h in range(heads)], 128, n_pad)
     sub = max(-(-heads // 8) * 8, 8)
     as_t = jnp.zeros((sub, n_pad), jnp.float32)
     as_t = jax.lax.dynamic_update_slice(

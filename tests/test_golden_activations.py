@@ -154,8 +154,10 @@ def test_gcn_sampled_deg_aware_matches_full(g):
     indptr, indices, _ = build_csr(dst.astype(np.int64),
                                    src.astype(np.int64), n)
     deg_in = (indptr[1:] - indptr[:-1]).astype(np.float32)
-    # RAW in-degrees: the conv applies the add_self_loops increment
-    # internally (convention changed with the deg-aware plumbing fix)
+    # RAW in-degrees: GCNConv has always applied the add_self_loops
+    # increment internally — this test previously passed deg_in + 1 and
+    # so double-applied it; the round-4 fix was to the TEST's input,
+    # not a conv convention change
     deg_hat = deg_in
 
     max_deg = int(deg_in.max())

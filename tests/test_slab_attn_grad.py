@@ -85,8 +85,10 @@ def test_attn_grad_mixed_band_fallback():
 
 
 def test_attn_pair_partitions_all_edges():
-    """Band + fallback together cover every edge exactly once, and the
-    transpose ELL covers exactly the band edge set."""
+    """Band + fallback together cover every edge exactly once.  With
+    bit planes (3R <= 1024) no transpose structures are built (the
+    one-pass backward needs only the forward orientation — ADVICE r4);
+    without bits the transpose ELL covers exactly the band edge set."""
     rng = np.random.default_rng(12)
     n = 300
     src, dst = make_graph(n, 5, 60, rng, frac_far=0.2)
@@ -97,16 +99,30 @@ def test_attn_pair_partitions_all_edges():
     n_band = int((ell >= 0).sum())
     n_fb = int((np.asarray(g.fb_src) >= 0).sum())
     assert n_band + n_fb == len(indices)
-    assert int((np.asarray(pair.t_ell) >= 0).sum()) == n_band
-    # reconstruct band edges from both orientations; sets must match
-    r_blk = g.block_rows
-    fr, fk = np.nonzero(ell >= 0)
-    f_edges = sorted(zip(fr.tolist(),
-                         (ell[fr, fk] + (fr // r_blk) * r_blk - r_blk).tolist()))
-    t = np.asarray(pair.t_ell)
+    assert g.ell_bits is not None
+    assert pair.t_ell is None and pair.t_bits is None
+
+    # no-bits split (3R > 1024): symmetric partition with a matching
+    # transpose ELL
+    pair2 = build_attention_slab_pair(indptr, indices, block_rows=512,
+                                      max_k=8)
+    g2 = pair2.fwd
+    assert g2.ell_bits is None
+    ell2 = np.asarray(g2.ell)
+    n_band2 = int((ell2 >= 0).sum())
+    n_fb2 = int((np.asarray(g2.fb_src) >= 0).sum())
+    assert n_band2 + n_fb2 == len(indices)
+    assert int((np.asarray(pair2.t_ell) >= 0).sum()) == n_band2
+    r_blk = g2.block_rows
+    fr, fk = np.nonzero(ell2 >= 0)
+    f_edges = sorted(zip(
+        fr.tolist(),
+        (ell2[fr, fk] + (fr // r_blk) * r_blk - r_blk).tolist()))
+    t = np.asarray(pair2.t_ell)
     tr, tk = np.nonzero(t >= 0)
-    t_edges = sorted(zip((t[tr, tk] + (tr // r_blk) * r_blk - r_blk).tolist(),
-                         tr.tolist()))
+    t_edges = sorted(zip(
+        (t[tr, tk] + (tr // r_blk) * r_blk - r_blk).tolist(),
+        tr.tolist()))
     assert f_edges == t_edges
 
 
