@@ -1,4 +1,5 @@
 from cugraph_gnn_tpu.loader.dist_loader import (
+    auto_mesh,
     DistLinkNeighborLoader,
     DistNeighborLoader,
 )
@@ -8,6 +9,7 @@ from cugraph_gnn_tpu.loader.node_loader import NeighborLoader, NodeBatch, NodeLo
 __all__ = [
     "DistLinkNeighborLoader",
     "DistNeighborLoader",
+    "auto_mesh",
     "LinkBatch",
     "LinkLoader",
     "LinkNeighborLoader",

@@ -49,6 +49,29 @@ from cugraph_gnn_tpu.store.dist_array import (
 )
 
 
+def auto_mesh(num_nodes: Optional[int] = None):
+    """Topology auto-selection for the dist loaders, mirroring the
+    reference's NVLink probe + backend auto-pick
+    (ref cugraph_pyg/tensor/utils.py:173-193 has_nvlink_network,
+    data/graph_store.py:95-98): multi-process deployments get the 2-D
+    (node=host x device=local) hierarchical mesh — feature/label rows
+    then dedup on ICI before crossing DCN (store/hierarchical.py) —
+    while single-process runs get the flat 1-D store mesh.
+
+    num_nodes: override the node count (defaults to
+    ``jax.process_count()``; useful for exercising the hierarchical
+    layout on a virtual single-process mesh).  Returns (mesh, axis)
+    ready to pass to DistNeighborLoader / DistLinkNeighborLoader —
+    which call this themselves when constructed with ``mesh=None``.
+    """
+    n = jax.process_count() if num_nodes is None else int(num_nodes)
+    if n > 1:
+        from cugraph_gnn_tpu.parallel.mesh import create_hierarchical_mesh
+        return create_hierarchical_mesh(n), ("node", "device")
+    from cugraph_gnn_tpu.parallel.mesh import create_store_mesh
+    return create_store_mesh(), STORE_AXIS
+
+
 class DistNeighborLoader:
     """NeighborLoader over a mesh: same surface (num_neighbors,
     input_nodes, weight_attr/time_attr, dedup, shuffle...), distributed
@@ -64,7 +87,7 @@ class DistNeighborLoader:
     """
 
     def __init__(self, data: Tuple[FeatureStore, GraphStore],
-                 num_neighbors: Sequence[int], mesh,
+                 num_neighbors: Sequence[int], mesh=None,
                  input_nodes=None, batch_size: int = 512,
                  shuffle: bool = False, drop_last: bool = False,
                  weight_attr: Optional[str] = None,
@@ -74,6 +97,9 @@ class DistNeighborLoader:
                  max_unique_per_hop: Optional[Sequence[int]] = None,
                  axis: str = STORE_AXIS):
         feature_store, graph_store = data
+        if mesh is None:
+            # topology auto-selection (hierarchical when multi-process)
+            mesh, axis = auto_mesh()
         self._local_mode = graph_store.has_local_edges
         if self._local_mode:
             # rank-local edge shards: no single-host SamplingGraph
@@ -478,7 +504,8 @@ class DistLinkNeighborLoader:
     """
 
     def __init__(self, data: Tuple[FeatureStore, GraphStore],
-                 num_neighbors: Sequence[int], mesh, edge_label_index,
+                 num_neighbors: Sequence[int], mesh=None, *,
+                 edge_label_index=None,
                  edge_label=None, neg_sampling=None, batch_size: int = 512,
                  shuffle: bool = False, drop_last: bool = False,
                  weight_attr: Optional[str] = None,
@@ -491,6 +518,11 @@ class DistLinkNeighborLoader:
             NegativeSampling,
             make_edge_key_sorted,
         )
+        if edge_label_index is None:
+            raise ValueError("edge_label_index is required")
+        if mesh is None:
+            # topology auto-selection (hierarchical when multi-process)
+            mesh, axis = auto_mesh()
         if time_attr is not None and edge_label_time is None:
             raise ValueError(
                 "time_attr requires edge_label_time (per-seed-edge "

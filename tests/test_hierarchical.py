@@ -87,3 +87,39 @@ def test_hier_dcn_mixed_ownership(mesh2d, rng):
     # unique remote ids from node 0: 80..89 -> 10 (not 16 raw)
     assert stats[:4].sum() == 10, stats
     assert stats[4:].sum() == 0, stats
+
+
+def test_auto_mesh_selection():
+    """auto_mesh (round 5 / VERDICT r4 #9): single-process -> flat 1-D
+    store mesh; multi-node (forced) -> (node x device) hierarchical
+    mesh, the ref's NVLink-probe auto-selection analog."""
+    from cugraph_gnn_tpu.loader import auto_mesh
+    from cugraph_gnn_tpu.parallel import STORE_AXIS
+
+    mesh, axis = auto_mesh()  # single-process pytest run
+    assert axis == STORE_AXIS
+    assert mesh.devices.ndim == 1
+
+    hmesh, haxis = auto_mesh(num_nodes=2)
+    assert haxis == ("node", "device")
+    assert hmesh.devices.shape == (2, len(jax.devices()) // 2)
+
+
+def test_dist_loader_mesh_none_defaults():
+    """DistNeighborLoader(mesh=None) resolves the mesh itself."""
+    import numpy as np
+
+    from cugraph_gnn_tpu.data import FeatureStore, GraphStore
+    from cugraph_gnn_tpu.loader import DistNeighborLoader
+
+    rng = np.random.default_rng(0)
+    n = 64
+    gs = GraphStore()
+    gs.put_edge_index((rng.integers(0, n, 256), rng.integers(0, n, 256)),
+                      ("", "to", ""), num_nodes=(n, n))
+    fs = FeatureStore()
+    fs[("", "x")] = rng.standard_normal((n, 4)).astype(np.float32)
+    loader = DistNeighborLoader((fs, gs), [2, 2], batch_size=16)
+    assert loader.mesh is not None
+    b = next(iter(loader))
+    assert b.x.shape[1] == 4
