@@ -185,17 +185,26 @@ def dist_gather_recv_cap(batch: int, world: int,
                          policy="auto") -> Optional[int]:
     """Default receive-capacity policy for the distributed gather.
 
-    None (unbounded world*B buffer) at world <= 8 where it is both small
-    and collective-minimal; at larger worlds a bounded 2*B-ish capacity
-    (rounded so the per-sender quota C//world is >= 8) keeps the request
-    buffer O(B) — the multi-round exchange covers overflow.  'flat'
-    forces the legacy unbounded buffer; an int is taken verbatim.
+    None (unbounded world*B buffer) at world <= 8 on the ragged-a2a
+    (TPU) path, where it is both small and collective-minimal; at
+    larger worlds a bounded 2*B-ish capacity (rounded so the per-sender
+    quota C//world is >= 8) keeps the request buffer O(B) — the
+    multi-round exchange covers overflow.
+
+    On the DENSE all_to_all fallback (XLA:CPU) the unbounded response
+    leg pads to world^2 * B feature rows (alltoallv pads each peer slot
+    to the full data length) — the W=8 virtual-mesh step-time blowup of
+    SCALING_r04 (43x from W=4; VERDICT r4 weak #4) — so the bound kicks
+    in from world > 4 there.  Real pods with ragged a2a never build
+    that buffer.  'flat' forces the legacy unbounded buffer; an int is
+    taken verbatim.
     """
     if policy == "flat":
         return None
     if isinstance(policy, int):
         return policy
-    if world <= 8:
+    limit = 8 if _use_ragged_a2a() else 4
+    if world <= limit:
         return None
     cap = max(2 * batch, 8 * world)
     return -(-cap // world) * world  # multiple of world (exact quota)
