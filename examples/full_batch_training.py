@@ -24,12 +24,12 @@ def main():
     import jax.numpy as jnp
     import optax
 
-    from cugraph_gnn_tpu.models import GAT, GCN, GraphSAGE
-    from cugraph_gnn_tpu.ops import FullBatchGraph
+    from cugraph_gnn_tpu.models import GAT, GCN, RGCN, GraphSAGE
+    from cugraph_gnn_tpu.ops import FullBatchGraph, RelationalFullBatch
     from cugraph_gnn_tpu.utils.datasets import load_karate, symmetrize
 
     p = argparse.ArgumentParser()
-    p.add_argument("--model", choices=("gcn", "sage", "gat"),
+    p.add_argument("--model", choices=("gcn", "sage", "gat", "rgcn"),
                    default="gcn")
     p.add_argument("--epochs", type=int, default=60)
     args = p.parse_args()
@@ -42,9 +42,16 @@ def main():
                30, 31, 32, 33]] = 1
 
     # one-time preprocessing: build the graph, move node data into
-    # graph order, train entirely in that space
-    fbg = FullBatchGraph.from_coo(g.src, g.dst, g.num_nodes,
-                                  reorder="auto")
+    # graph order, train entirely in that space.  rgcn splits edges
+    # into 2 relations (by endpoint parity) and runs per-relation
+    # banded slabs on a shared union-RCM order (RelationalFullBatch).
+    if args.model == "rgcn":
+        etype = ((np.asarray(g.src) + np.asarray(g.dst)) % 2).astype(
+            np.int32)
+        fbg = RelationalFullBatch(g.src, g.dst, etype, 2, g.num_nodes)
+    else:
+        fbg = FullBatchGraph.from_coo(g.src, g.dst, g.num_nodes,
+                                      reorder="auto")
     rng = np.random.default_rng(0)
     x_in = rng.standard_normal((g.num_nodes, 16)).astype(np.float32)
     x = fbg.to_graph_order(jnp.asarray(x_in))
@@ -59,6 +66,8 @@ def main():
                                   num_layers=2),
         "gat": lambda: GAT(hidden_features=16, out_features=2,
                            num_layers=2, heads=4),
+        "rgcn": lambda: RGCN(num_relations=2, hidden_features=16,
+                             out_features=2, num_layers=2),
     }[args.model]()
     fg = type(model).full_graph
     params = model.init(jax.random.PRNGKey(0), x, fbg, method=fg)

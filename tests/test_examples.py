@@ -131,6 +131,16 @@ def test_full_batch_training_example():
     run_example("full_batch_training.py", [])
 
 
+def test_full_batch_training_rgcn_example():
+    # round 5: full-batch R-GCN rides RelationalFullBatch (per-relation
+    # slabs on the shared union-RCM order)
+    r = run_example("full_batch_training.py",
+                    ["--model", "rgcn", "--epochs", "40"])
+    import re
+    m = re.search(r"accuracy: ([0-9.]+)", r.stdout)
+    assert m and float(m.group(1)) > 0.9, r.stdout[-1500:]
+
+
 def test_full_batch_training_gat_example():
     # fused slab attention fwd + one-pass bwd through the canonical
     # example surface (accuracy-gated inside the script)
