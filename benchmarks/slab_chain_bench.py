@@ -137,25 +137,47 @@ def main():
     # ---- attention fwd: x <- softmax-aggregate(x) (bounded) ----
     def attn_ell(xc, g_ell, ad, asx):
         gg = base._replace(ell=g_ell)
-        return slab_attention_spmm(gg, xc, ad, asx, interpret=False)
+        return slab_attention_spmm(
+            gg, xc, ad, asx, interpret=False).astype(xc.dtype)
 
     def attn_bits(xc, g_bits, ad, asx):
         gg = base._replace(ell_bits=g_bits)
-        return slab_attention_spmm(gg, xc, ad, asx, interpret=False)
+        return slab_attention_spmm(
+            gg, xc, ad, asx, interpret=False).astype(xc.dtype)
+
+    # actual bytes (G-stacked round 5): bits + ad lane block + as_t
+    # margins + (G+2)/G-amplified x slab + u + packed-ms outputs
+    from cugraph_gnn_tpu.ops.pallas.slab_kernel import _attn_g_stack
+
+    def attn_fwd_bytes(x_item):
+        g_att = _attn_g_stack(nb, R, F, x_item, 128)
+        return (N * 128 + N * 128 * 4 + 3 * 8 * N * 4
+                + N * F * x_item * (g_att + 2) / g_att
+                + N * F * 4 + N * 128 * 4)
 
     timed("attn fwd ELL  ", attn_ell, x, (ell, a_d, a_s))
-    timed("attn fwd bits ", attn_bits, x, (bits, a_d, a_s))
+    timed("attn fwd bits ", attn_bits, x, (bits, a_d, a_s),
+          actual_bytes=attn_fwd_bytes(4))
+    timed("attn fwd bits bf16-x", attn_bits, x.astype(jnp.bfloat16),
+          (bits, a_d, a_s), actual_bytes=attn_fwd_bytes(2))
 
     # ---- attention bwd: g <- dx(g) / 4 (linear chain in g) ----
-    # actual HBM bytes per pass (one-pass kernel, H=1): bits + center
-    # stats (N,128 f32) + as_t margins + x slab (3x) + g center + dad
-    # out (N,128) + dx 3-plane out (N,3F) + das planes + epilogue
-    # (read dx3 + write dx)
+    # actual HBM bytes per pass (one-pass kernel, H=1, round-5
+    # G-stacked layout): bits + center stats (N,128 f32) + as_t
+    # margins + (G+2)/G x slab + g center + dad out (N,128) + dx
+    # center plane + 2/G margin planes + das planes + epilogue (read
+    # the planes + write dx)
+    from cugraph_gnn_tpu.ops.pallas.slab_attn_grad import _bwd_g_stack
+
     def bwd_bytes(xg_item):
+        g_b = _bwd_g_stack(nb, R, F, xg_item)
+        amp = (g_b + 2) / g_b
+        planes = 1 + 2 / g_b
         return (N * 128 + N * 128 * 4 + 3 * 8 * N * 4
-                + 3 * N * F * xg_item + N * F * xg_item
-                + N * 128 * 4 + N * 3 * F * 4 + 3 * 8 * N * 4
-                + N * 3 * F * 4 + N * F * 4)
+                + N * F * xg_item * amp + N * F * xg_item
+                + N * 128 * 4 + N * F * 4 * planes
+                + amp * 8 * N * 4
+                + N * F * 4 * planes + N * F * 4)
 
     def bwd_bits(gc, g_bits, g_ell, xi, ad, asx, gm, gs, gt, cd):
         pair = AttnSlabPair(fwd=base._replace(ell_bits=g_bits),

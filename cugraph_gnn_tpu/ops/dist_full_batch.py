@@ -616,8 +616,10 @@ class DistFullBatchGraph:
             ad_l = jnp.concatenate(
                 [ad_local.astype(jnp.float32)[:, None],
                  jnp.zeros((rs, 127), jnp.float32)], axis=1)
+            # G=1 stacking: halo-extended x keeps the 3 R-row slab
+            # specs (same reasoning as the sharded SpMM body)
             kern = ft.partial(_slab_attn_fwd_kernel, k_w, use_bits, 1, f,
-                              negative_slope, jnp.float32)
+                              r_blk, 1, negative_slope, jnp.float32)
             as_specs = [pl.BlockSpec((8, r_blk),
                                      lambda b, o=o: (0, b + o))
                         for o in range(3)]
@@ -727,18 +729,22 @@ class DistFullBatchGraph:
             as_specs = [pl.BlockSpec((sub, r_blk),
                                      lambda b, o=o: (0, b + o))
                         for o in range(3)]
-            dad_b, dx3, das3 = pl.pallas_call(
-                ft.partial(_bwd_onepass_kernel, heads, fh, sub,
-                           negative_slope, jnp.float32),
+            # G=1 stacking: the halo-extended x keeps the 3 R-row slab
+            # specs; outputs arrive as center plane + [lead|trail]
+            # margin block (round-5 kernel layout)
+            dad_b, dxc, dxm, das3 = pl.pallas_call(
+                ft.partial(_bwd_onepass_kernel, heads, fh, sub, r_blk,
+                           1, negative_slope, jnp.float32),
                 grid=(nb_local,),
                 in_specs=[blk(128), blk(128)] + as_specs + slabs(hf)
                 + [blk(hf)],
-                out_specs=[blk(128), blk(3 * hf),
+                out_specs=[blk(128), blk(hf), blk(2 * hf),
                            pl.BlockSpec((sub, 3 * r_blk),
                                         lambda b: (b, 0))],
                 out_shape=[
                     jax.ShapeDtypeStruct((rs, 128), jnp.float32),
-                    jax.ShapeDtypeStruct((rs, 3 * hf), jnp.float32),
+                    jax.ShapeDtypeStruct((rs, hf), jnp.float32),
+                    jax.ShapeDtypeStruct((rs, 2 * hf), jnp.float32),
                     jax.ShapeDtypeStruct((nb_local * sub, 3 * r_blk),
                                          jnp.float32)],
                 interpret=interpret,
@@ -746,21 +752,23 @@ class DistFullBatchGraph:
               g_l.astype(jnp.float32))
             dad = dad_b[:, :heads]
 
-            # plane o's local row j contributes to local row j+(o-1)R;
+            # block b's lead plane row j contributes to local row
+            # (b-1)R + j, center to bR + j, trail to (b+1)R + j;
             # assemble over the extended range, reverse-halo the
             # margins back to their owners (dx and das ride together)
-            def ext_sum(p3, w):
-                parts = [p3[:, o * w:(o + 1) * w] for o in range(3)]
-                return (jnp.pad(parts[0], ((0, 2 * r_blk), (0, 0)))
-                        + jnp.pad(parts[1], ((r_blk, r_blk), (0, 0)))
-                        + jnp.pad(parts[2], ((2 * r_blk, 0), (0, 0))))
+            def ext_sum3(lead_p, center_p, trail_p):
+                return (jnp.pad(lead_p, ((0, 2 * r_blk), (0, 0)))
+                        + jnp.pad(center_p, ((r_blk, r_blk), (0, 0)))
+                        + jnp.pad(trail_p, ((2 * r_blk, 0), (0, 0))))
 
             das_blocks = das3.reshape(
                 nb_local, sub, 3, r_blk)[:, :heads]        # (nb, H, 3, R)
             das_p3 = jnp.transpose(das_blocks, (0, 3, 2, 1)) \
                 .reshape(rs, 3 * heads)                    # [r][(o, h)]
             c_ext = jnp.concatenate(
-                [ext_sum(dx3, hf), ext_sum(das_p3, heads)], axis=1)
+                [ext_sum3(dxm[:, :hf], dxc, dxm[:, hf:]),
+                 ext_sum3(das_p3[:, :heads], das_p3[:, heads:2 * heads],
+                          das_p3[:, 2 * heads:])], axis=1)
             c = _halo_reduce(c_ext, r_blk, axis, world)
             dx, das = c[:, :hf], c[:, hf:]
 
@@ -999,8 +1007,10 @@ class DistFullBatchGraph:
             as_t = jax.lax.dynamic_update_slice(as_t, as_e.T, (0, 0))
             ad_l = jnp.pad(ad_local.astype(jnp.float32),
                            ((0, 0), (0, 128 - heads)))
+            # G=1 stacking: halo-extended x keeps the 3 R-row slab specs
             kern = ft.partial(_slab_attn_fwd_kernel, k_w, use_bits,
-                              heads, fh, negative_slope, jnp.float32)
+                              heads, fh, r_blk, 1, negative_slope,
+                              jnp.float32)
             as_specs = [pl.BlockSpec((sub, r_blk),
                                      lambda b, o=o: (0, b + o))
                         for o in range(3)]

@@ -173,9 +173,10 @@ def build_attention_slab_pair(indptr, indices, *, block_rows: int = 256,
     return AttnSlabPair(fwd=fwd, t_ell=copt(t_ell), t_bits=copt(t_bits))
 
 
-def _bwd_onepass_kernel(heads, f, sub, negative_slope, compute_dtype,
+def _bwd_onepass_kernel(heads, f, sub, r_blk, g_stack, negative_slope,
+                        compute_dtype,
                         bits_ref, stc_ref, as0, as1, as2, x0, x1, x2,
-                        gc_ref, dad_ref, dx_ref, das_ref):
+                        gc_ref, dad_ref, dxc_ref, dxm_ref, das_ref):
     """One-pass backward over the FORWARD orientation only (round 4).
 
     The two-orientation scheme decodes two adjacencies, runs two
@@ -184,70 +185,136 @@ def _bwd_onepass_kernel(heads, f, sub, negative_slope, compute_dtype,
 
         dad[r] = sum_c de_rc      (row sums    -> direct)
         das[c] = sum_r de_rc      (COLUMN sums -> per-slab-column sums,
-                                   merged across the <=3 covering
-                                   blocks by a shifted-add epilogue)
-        dx[c]  = sum_r a_rc g[r]  (alpha^T @ g_center, written as three
-                                   R-row planes, same epilogue)
+                                   accumulated in VMEM, margins merged
+                                   by the epilogue)
+        dx[c]  = sum_r a_rc g[r]  (alpha^T @ g_center, accumulated the
+                                   same way)
 
     so one decode + one exp + TWO matmuls per head suffice, the
     transpose adjacency disappears, and g is read as the center block
     only (not a 3R slab).  The slab side needs only alpha_src, which
     arrives PRE-TRANSPOSED (sublane h = head h, lanes = node rows) as
-    three (sub, R) column blocks — no in-kernel transpose and no
+    (sub, R-multiple) column blocks — no in-kernel transpose and no
     128-lane stats slab.  Center stats ride one (R, 128) lane block
-    (slot*H + h for slot in AD, M, S, T).  Outputs:
-      dad_ref (R, 128)        lane h = head h row sums
-      dx_ref  (R, 3*H*F)      lanes (o*H + h)*F = plane o of head h
-      das_ref (sub, 3R)       sublane h = head h column sums
+    (slot*H + h for slot in AD, M, S, T).
+
+    Round-5 G-stacking: each grid step processes ``g_stack`` R-row
+    sub-blocks from ONE (G+2)R slab, and — the bigger win — the
+    per-sub-block dx/das slab contributions ACCUMULATE in VMEM across
+    sub-blocks, so the dx output traffic drops from three full planes
+    (3x N*H*F) to one center plane plus two R-row margins per grid step
+    ((1 + 2/G)x), and the x slab DMA from 3x to (G+2)/G.  Outputs:
+      dad_ref (G*R, 128)       lane h = head h row sums
+      dxc_ref (G*R, H*F)       center dx plane (global rows directly)
+      dxm_ref (R, 2*H*F)       lanes [0, HF) = leading-margin plane
+                               (global block b*G - 1), [HF, 2HF) =
+                               trailing (block (b+1)*G)
+      das_ref (sub, (G+2)*R)   sublane h = head h column sums over the
+                               full slab (center cols [R, (G+1)R))
     """
     cd = compute_dtype
-    r_blk = bits_ref.shape[0]
-    a = _decode_bits(bits_ref[...], r_blk)                        # (R, 3R)
-    slab_x = jnp.concatenate([x0[...], x1[...], x2[...]], axis=0)  # (3R, HF)
-    as_t = jnp.concatenate([as0[...], as1[...], as2[...]], axis=1)  # (sub,3R)
-    blk = stc_ref[...]
-    gc = gc_ref[...]                                              # (R, HF)
+    slab_x = jnp.concatenate([x0[...], x1[...], x2[...]],
+                             axis=0)                         # ((G+2)R, HF)
+    as_all = jnp.concatenate([as0[...], as1[...], as2[...]],
+                             axis=1)                         # (sub, (G+2)R)
+    stc_all = stc_ref[...]
+    gc_all = gc_ref[...]                                     # (GR, HF)
+    bits_all = bits_ref[...]
     ns = jnp.float32(negative_slope)
-    dads, dxs, dass = [], [], []
-    for h in range(heads):
-        ad = blk[:, 0 * heads + h:0 * heads + h + 1]              # (R, 1)
-        m = blk[:, 1 * heads + h:1 * heads + h + 1]
-        s = blk[:, 2 * heads + h:2 * heads + h + 1]
-        t = blk[:, 3 * heads + h:3 * heads + h + 1]
-        as_row = as_t[h:h + 1]                                    # (1, 3R)
-        z = ad + as_row                                           # (R, 3R)
-        lr = jnp.where(z >= 0, z, ns * z)
-        alpha = jnp.where(a > 0, jnp.exp(lr - m), 0.0) / s        # (R, 3R)
-        gh = gc[:, h * f:(h + 1) * f]
-        xh = slab_x[:, h * f:(h + 1) * f]
-        gx = jax.lax.dot_general(
-            gh.astype(cd), xh.astype(cd),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)                   # (R, 3R)
-        de = alpha * (gx - t) * jnp.where(z >= 0, 1.0, ns)
-        dads.append(jnp.sum(de, axis=1, keepdims=True))
-        dxs.append(jax.lax.dot_general(
-            alpha.astype(cd), gh.astype(cd),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))                  # (3R, F)
-        dass.append(jnp.sum(de, axis=0, keepdims=True))           # (1, 3R)
-    lane_pad = jnp.zeros((r_blk, 128 - heads), jnp.float32)
-    dad_ref[...] = jnp.concatenate(dads + [lane_pad], axis=1)
-    parts = [dxs[h][o * r_blk:(o + 1) * r_blk]
-             for o in range(3) for h in range(heads)]
-    dx_ref[...] = jnp.concatenate(parts, axis=1)                  # (R, 3HF)
-    das_pad = jnp.zeros((sub - heads, 3 * r_blk), jnp.float32)
-    das_ref[...] = jnp.concatenate(dass + [das_pad], axis=0)      # (sub, 3R)
+    hf = heads * f
+    acc_dx = jnp.zeros(((g_stack + 2) * r_blk, hf), jnp.float32)
+    acc_das = jnp.zeros((sub, (g_stack + 2) * r_blk), jnp.float32)
+    for j in range(g_stack):
+        a = _decode_bits(bits_all[j * r_blk:(j + 1) * r_blk],
+                         r_blk)                              # (R, 3R)
+        blk = stc_all[j * r_blk:(j + 1) * r_blk]
+        gc = gc_all[j * r_blk:(j + 1) * r_blk]               # (R, HF)
+        win_x = slab_x[j * r_blk:j * r_blk + 3 * r_blk]      # (3R, HF)
+        as_t = as_all[:, j * r_blk:j * r_blk + 3 * r_blk]    # (sub, 3R)
+        dads, dxs, dass = [], [], []
+        for h in range(heads):
+            ad = blk[:, 0 * heads + h:0 * heads + h + 1]     # (R, 1)
+            m = blk[:, 1 * heads + h:1 * heads + h + 1]
+            s = blk[:, 2 * heads + h:2 * heads + h + 1]
+            t = blk[:, 3 * heads + h:3 * heads + h + 1]
+            as_row = as_t[h:h + 1]                           # (1, 3R)
+            z = ad + as_row                                  # (R, 3R)
+            lr = jnp.where(z >= 0, z, ns * z)
+            alpha = jnp.where(a > 0, jnp.exp(lr - m), 0.0) / s
+            gh = gc[:, h * f:(h + 1) * f]
+            xh = win_x[:, h * f:(h + 1) * f]
+            gx = jax.lax.dot_general(
+                gh.astype(cd), xh.astype(cd),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (R, 3R)
+            de = alpha * (gx - t) * jnp.where(z >= 0, 1.0, ns)
+            dads.append(jnp.sum(de, axis=1, keepdims=True))
+            dxs.append(jax.lax.dot_general(
+                alpha.astype(cd), gh.astype(cd),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))         # (3R, F)
+            dass.append(jnp.sum(de, axis=0, keepdims=True))  # (1, 3R)
+        lane_pad = jnp.zeros((r_blk, 128 - heads), jnp.float32)
+        dad_ref[j * r_blk:(j + 1) * r_blk] = jnp.concatenate(
+            dads + [lane_pad], axis=1)
+        dx_j = jnp.concatenate(dxs, axis=1)                  # (3R, HF)
+        # static-slice accumulate via concat (jnp .at[].add lowers to a
+        # scatter whose empty index constants pallas rejects;
+        # lax.dynamic_slice has no Mosaic TC lowering)
+        mid = acc_dx[j * r_blk:j * r_blk + 3 * r_blk] + dx_j
+        acc_dx = jnp.concatenate(
+            [p for p in (acc_dx[:j * r_blk], mid,
+                         acc_dx[j * r_blk + 3 * r_blk:])
+             if p.shape[0]], axis=0)
+        das_pad = jnp.zeros((sub - heads, 3 * r_blk), jnp.float32)
+        das_j = jnp.concatenate(dass + [das_pad], axis=0)    # (sub, 3R)
+        dmid = acc_das[:, j * r_blk:j * r_blk + 3 * r_blk] + das_j
+        acc_das = jnp.concatenate(
+            [p for p in (acc_das[:, :j * r_blk], dmid,
+                         acc_das[:, j * r_blk + 3 * r_blk:])
+             if p.shape[1]], axis=1)
+    dxc_ref[...] = acc_dx[r_blk:(g_stack + 1) * r_blk]
+    dxm_ref[...] = jnp.concatenate(
+        [acc_dx[:r_blk], acc_dx[(g_stack + 1) * r_blk:]], axis=1)
+    das_ref[...] = acc_das
 
 
-def _shift_sum_planes(planes3, r_blk, n, n_pad):
-    """Merge the three per-offset planes: plane o's padded row j holds
-    the contribution to global row j + (o-1)*R.  planes3: (n_pad, 3*W)
-    laned [o][W]; returns (n, W)."""
-    w = planes3.shape[1] // 3
-    p = jnp.pad(planes3, ((r_blk, 2 * r_blk + n - n_pad), (0, 0)))
-    return sum(p[(2 - o) * r_blk:(2 - o) * r_blk + n, o * w:(o + 1) * w]
-               for o in range(3))
+def _bwd_g_stack(nb: int, r_blk: int, hf: int, xg_item: int,
+                 budget: int = (9 << 20) // 2) -> int:
+    """Largest G dividing the block count whose one-pass-backward block
+    set ((G+2)R x HF x slab + G*R x HF g/dxc + margins + stats/adj) and
+    (G+2)R x HF f32 VMEM accumulator fit the budget (x2 for pipelining
+    plus the (R, 3R) softmax scratch must stay under 16MB/core)."""
+    for g in (8, 4, 2, 1):
+        if nb % g:
+            continue
+        need = ((g + 2) * r_blk * hf * xg_item      # x slab
+                + g * r_blk * hf * xg_item          # g center
+                + (g + 2) * r_blk * hf * 4          # acc_dx (+ dxc out)
+                + g * r_blk * hf * 4                # dxc out block
+                + g * r_blk * (4 * 128 + 4 * 128 + 128))  # stats/dad/bits
+        if need <= budget:
+            return g
+    return 1
+
+
+def _merge_gstack_margins(center, lead, trail, r_blk, g_stack):
+    """Epilogue of the G-stacked one-pass backward: add each grid
+    step's leading-margin plane to the previous step's last R center
+    rows and its trailing plane to the next step's first R rows
+    (out-of-range margins — grid 0's lead, last grid's trail — carry
+    only adjacency-masked zeros and are dropped).  center: (n_pad, W)
+    viewed as (nbg, G*R, W); lead/trail: (nbg*R, W)."""
+    w = center.shape[1]
+    gr = g_stack * r_blk
+    nbg = center.shape[0] // gr
+    c = center.reshape(nbg, gr, w)
+    lead = lead.reshape(nbg, r_blk, w)
+    trail = trail.reshape(nbg, r_blk, w)
+    if nbg > 1:
+        c = c.at[:-1, gr - r_blk:].add(lead[1:])
+        c = c.at[1:, :r_blk].add(trail[:-1])
+    return c.reshape(nbg * gr, w)
 
 
 def _onepass_bwd(graph: SlabGraph, x, alpha_dst, alpha_src, m, s, t, g,
@@ -294,37 +361,55 @@ def _onepass_bwd(graph: SlabGraph, x, alpha_dst, alpha_src, m, s, t, g,
     x_pad = _rows_to_npad(x, x.dtype)
     g_pad = _rows_to_npad(g, g.dtype)
 
-    clamp = lambda o: lambda b: (jnp.clip(b + o - 1, 0, nb - 1), 0)
-    clamp_c = lambda o: lambda b: (0, jnp.clip(b + o - 1, 0, nb - 1))
+    gst = _bwd_g_stack(nb, r_blk, hf,
+                       max(x_pad.dtype.itemsize, g_pad.dtype.itemsize))
+    nbg = nb // gst
+    lead = lambda b: (jnp.clip(b * gst - 1, 0, nb - 1), 0)
+    trail = lambda b: (jnp.clip((b + 1) * gst, 0, nb - 1), 0)
+    lead_c = lambda b: (0, jnp.clip(b * gst - 1, 0, nb - 1))
+    trail_c = lambda b: (0, jnp.clip((b + 1) * gst, 0, nb - 1))
     slab_specs = lambda width: [
-        pl.BlockSpec((r_blk, width), clamp(o)) for o in range(3)]
-    as_specs = [pl.BlockSpec((sub, r_blk), clamp_c(o)) for o in range(3)]
-    dad_b, dx3, das3 = pl.pallas_call(
-        functools.partial(_bwd_onepass_kernel, heads, f, sub,
-                          negative_slope, compute_dtype),
-        grid=(nb,),
-        in_specs=[pl.BlockSpec((r_blk, graph.ell_bits.shape[1]),
+        pl.BlockSpec((r_blk, width), lead),
+        pl.BlockSpec((gst * r_blk, width), lambda b: (b, 0)),
+        pl.BlockSpec((r_blk, width), trail)]
+    as_specs = [pl.BlockSpec((sub, r_blk), lead_c),
+                pl.BlockSpec((sub, gst * r_blk), lambda b: (0, b)),
+                pl.BlockSpec((sub, r_blk), trail_c)]
+    dad_b, dxc, dxm, das_g = pl.pallas_call(
+        functools.partial(_bwd_onepass_kernel, heads, f, sub, r_blk,
+                          gst, negative_slope, compute_dtype),
+        grid=(nbg,),
+        in_specs=[pl.BlockSpec((gst * r_blk, graph.ell_bits.shape[1]),
                                lambda b: (b, 0)),
-                  pl.BlockSpec((r_blk, 128), lambda b: (b, 0))]
+                  pl.BlockSpec((gst * r_blk, 128), lambda b: (b, 0))]
         + as_specs + slab_specs(hf)
-        + [pl.BlockSpec((r_blk, hf), lambda b: (b, 0))],
-        out_specs=[pl.BlockSpec((r_blk, 128), lambda b: (b, 0)),
-                   pl.BlockSpec((r_blk, 3 * hf), lambda b: (b, 0)),
-                   pl.BlockSpec((sub, 3 * r_blk), lambda b: (b, 0))],
+        + [pl.BlockSpec((gst * r_blk, hf), lambda b: (b, 0))],
+        out_specs=[pl.BlockSpec((gst * r_blk, 128), lambda b: (b, 0)),
+                   pl.BlockSpec((gst * r_blk, hf), lambda b: (b, 0)),
+                   pl.BlockSpec((r_blk, 2 * hf), lambda b: (b, 0)),
+                   pl.BlockSpec((sub, (gst + 2) * r_blk),
+                                lambda b: (b, 0))],
         out_shape=[jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
-                   jax.ShapeDtypeStruct((n_pad, 3 * hf), jnp.float32),
-                   jax.ShapeDtypeStruct((nb * sub, 3 * r_blk), jnp.float32)],
+                   jax.ShapeDtypeStruct((n_pad, hf), jnp.float32),
+                   jax.ShapeDtypeStruct((nbg * r_blk, 2 * hf),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((nbg * sub, (gst + 2) * r_blk),
+                                        jnp.float32)],
         interpret=interpret,
     )(graph.ell_bits, st_pad, as_t, as_t, as_t, x_pad, x_pad, x_pad,
       g_pad)
     dad = dad_b[:n, :heads]
-    dx = _shift_sum_planes(dx3, r_blk, n, n_pad).reshape(n, heads, f)
-    # das planes: head h's column sums live in sublane h of each
-    # (sub, 3R) block; flatten block-column o to an (n_pad, H) plane.
-    das_blocks = das3.reshape(nb, sub, 3, r_blk)[:, :heads]      # (nb,H,3,R)
-    das_planes = jnp.transpose(das_blocks, (0, 3, 2, 1)) \
-        .reshape(n_pad, 3 * heads)                               # [r][(o,h)]
-    das = _shift_sum_planes(das_planes, r_blk, n, n_pad)         # (n, H)
+    dx = _merge_gstack_margins(dxc, dxm[:, :hf], dxm[:, hf:], r_blk,
+                               gst)[:n].reshape(n, heads, f)
+    # das: sublane h of each (sub, (G+2)R) grid block holds head h's
+    # column sums over the slab; split center/margins and merge.
+    das3 = das_g.reshape(nbg, sub, gst + 2, r_blk)[:, :heads]
+    das_c = jnp.transpose(das3[:, :, 1:gst + 1], (0, 2, 3, 1)) \
+        .reshape(n_pad, heads)
+    das_l = jnp.transpose(das3[:, :, 0], (0, 2, 1)).reshape(-1, heads)
+    das_t = jnp.transpose(das3[:, :, gst + 1], (0, 2, 1)) \
+        .reshape(-1, heads)
+    das = _merge_gstack_margins(das_c, das_l, das_t, r_blk, gst)[:n]
     return dx, dad, das
 
 

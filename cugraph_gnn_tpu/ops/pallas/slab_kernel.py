@@ -246,6 +246,24 @@ def _g_stack_for(nb: int, g_max: int = 8) -> int:
     return 1
 
 
+def _attn_g_stack(nb: int, r_blk: int, hf: int, x_item: int,
+                  adj_row_bytes: int, budget: int = 3 << 20) -> int:
+    """Largest G dividing the block count whose attention-forward block
+    set ((G+2)R x HF slab, G*R x HF f32 output, adjacency + packed
+    stats) fits the VMEM budget.  The budget is deliberately tight:
+    double-buffered blocks PLUS the kernel's per-sub-block (R, 3R)
+    score/softmax scratch must fit the 16MB/core scoped VMEM (g=8 at
+    R=256, HF=128 compiles to 18.2MB — over)."""
+    for g in (8, 4, 2, 1):
+        if nb % g:
+            continue
+        need = ((g + 2) * r_blk * hf * x_item + g * r_blk * hf * 4
+                + g * r_blk * (4 * 128 + 4 * 128 + adj_row_bytes))
+        if need <= budget:
+            return g
+    return 1
+
+
 def slab_spmm(graph: SlabGraph, x, reduce: str = "sum", *,
               compute_dtype=jnp.bfloat16, interpret: Optional[bool] = None):
     """out[r] = reduce over CSR row r of w * x[cols] via the slab MXU
@@ -366,41 +384,55 @@ def _attn_cnt(ell_or_bits, r_blk, k_width, use_bits):
 
 
 def _slab_attn_fwd_kernel(k_width: int, use_bits: bool, heads: int, f: int,
+                          r_blk: int, g_stack: int,
                           negative_slope: float, compute_dtype,
                           ell_ref, ad_ref, as0, as1, as2, x0, x1, x2,
                           u_ref, ms_ref):
     """Multi-head fused attention forward: the adjacency (the VPU-
     expensive part) is built ONCE per block — from the bit-packed
     planes when available — and reused by every head.  alpha_src
-    arrives PRE-TRANSPOSED as three (sub, R) column blocks (sublane h =
-    head h) — no in-kernel (3R, 128) transpose and ~16x less stats DMA
-    (round-4 glue discipline).  Softmax stats pack into ONE output:
-    ms_ref (R, 128) lanes [0, H) = m, [64, 64 + H) = s (H <= 64)."""
-    r_blk = ad_ref.shape[0]
-    slab = jnp.concatenate([x0[...], x1[...], x2[...]], axis=0)   # (3R, H*F)
-    as_t = jnp.concatenate([as0[...], as1[...], as2[...]], axis=1)  # (sub,3R)
-    ad = ad_ref[...]                                     # (R, 128) lane h
-    cnt = _attn_cnt(ell_ref[...], r_blk, k_width, use_bits)
-    has_edge = cnt > 0
+    arrives PRE-TRANSPOSED as (sub, R-multiple) column blocks (sublane
+    h = head h) — no in-kernel (3R, 128) transpose and ~16x less stats
+    DMA (round-4 glue discipline).  Softmax stats pack into ONE output:
+    ms_ref (R, 128) lanes [0, H) = m, [64, 64 + H) = s (H <= 64).
+
+    Round-5 G-stacking (same shape as _slab_bits_kernel's): one grid
+    step processes ``g_stack`` R-row sub-blocks from ONE (G+2)R-row
+    slab — the per-sub-block softmax/VPU work is unchanged but the
+    dominant x-slab DMA amortizes from 3x to (G+2)/G.  Sub-block j's
+    3R window is slab rows/cols [jR, jR + 3R)."""
+    slab = jnp.concatenate([x0[...], x1[...], x2[...]], axis=0)  # ((G+2)R, HF)
+    as_all = jnp.concatenate([as0[...], as1[...], as2[...]],
+                             axis=1)                          # (sub, (G+2)R)
+    ad_all = ad_ref[...]                                 # (GR, 128) lane h
+    adj_all = ell_ref[...]
     ninf = jnp.float32(-jnp.inf)
-    us, ms, ss = [], [], []
-    for h in range(heads):
-        e = ad[:, h:h + 1] + as_t[h:h + 1]               # (R, 3R)
-        e = jnp.where(e >= 0, e, jnp.float32(negative_slope) * e)
-        e = jnp.where(has_edge, e, ninf)
-        m = jnp.max(e, axis=1, keepdims=True)            # (R, 1)
-        m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
-        p = jnp.where(has_edge, cnt * jnp.exp(e - m_safe), 0.0)
-        ss.append(jnp.sum(p, axis=1, keepdims=True))
-        ms.append(m_safe)
-        us.append(jnp.dot(
-            p.astype(compute_dtype),
-            slab[:, h * f:(h + 1) * f].astype(compute_dtype),
-            preferred_element_type=jnp.float32))
-    u_ref[...] = jnp.concatenate(us, axis=1)
-    pad_m = jnp.zeros((r_blk, 64 - heads), jnp.float32)
-    pad_s = jnp.zeros((r_blk, 64 - heads), jnp.float32)
-    ms_ref[...] = jnp.concatenate(ms + [pad_m] + ss + [pad_s], axis=1)
+    for j in range(g_stack):
+        ad = ad_all[j * r_blk:(j + 1) * r_blk]
+        cnt = _attn_cnt(adj_all[j * r_blk:(j + 1) * r_blk], r_blk,
+                        k_width, use_bits)
+        has_edge = cnt > 0
+        as_t = as_all[:, j * r_blk:j * r_blk + 3 * r_blk]
+        win = slab[j * r_blk:j * r_blk + 3 * r_blk]
+        us, ms, ss = [], [], []
+        for h in range(heads):
+            e = ad[:, h:h + 1] + as_t[h:h + 1]           # (R, 3R)
+            e = jnp.where(e >= 0, e, jnp.float32(negative_slope) * e)
+            e = jnp.where(has_edge, e, ninf)
+            m = jnp.max(e, axis=1, keepdims=True)        # (R, 1)
+            m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+            p = jnp.where(has_edge, cnt * jnp.exp(e - m_safe), 0.0)
+            ss.append(jnp.sum(p, axis=1, keepdims=True))
+            ms.append(m_safe)
+            us.append(jnp.dot(
+                p.astype(compute_dtype),
+                win[:, h * f:(h + 1) * f].astype(compute_dtype),
+                preferred_element_type=jnp.float32))
+        u_ref[j * r_blk:(j + 1) * r_blk] = jnp.concatenate(us, axis=1)
+        pad_m = jnp.zeros((r_blk, 64 - heads), jnp.float32)
+        pad_s = jnp.zeros((r_blk, 64 - heads), jnp.float32)
+        ms_ref[j * r_blk:(j + 1) * r_blk] = jnp.concatenate(
+            ms + [pad_m] + ss + [pad_s], axis=1)
 
 
 def slab_attention_spmm_mh(graph: SlabGraph, x, alpha_dst, alpha_src, *,
@@ -448,21 +480,32 @@ def slab_attention_spmm_mh(graph: SlabGraph, x, alpha_dst, alpha_src, *,
     k_w = graph.ell.shape[1]
     use_bits = graph.ell_bits is not None
     adj = graph.ell_bits if use_bits else graph.ell
-    kern = functools.partial(_slab_attn_fwd_kernel, k_w, use_bits, heads,
-                             f, negative_slope, compute_dtype)
     hf = heads * f
-    clamp = lambda o: lambda b: (jnp.clip(b + o - 1, 0, nb - 1), 0)
-    clamp_c = lambda o: lambda b: (0, jnp.clip(b + o - 1, 0, nb - 1))
-    ell_spec = pl.BlockSpec((r_blk, adj.shape[1]), lambda b: (b, 0))
-    ad_spec = pl.BlockSpec((r_blk, 128), lambda b: (b, 0))
-    as_specs = [pl.BlockSpec((sub, r_blk), clamp_c(o)) for o in range(3)]
-    x_specs = [pl.BlockSpec((r_blk, hf), clamp(o)) for o in range(3)]
+    # G-stacking (round 5): amortize the x-slab DMA to (G+2)/G, capped
+    # by a VMEM budget (~6MB of blocks; x2 for pipelining stays well
+    # under the 16MB/core VMEM).
+    g = _attn_g_stack(nb, r_blk, hf, x_pad.dtype.itemsize,
+                      adj.shape[1] * adj.dtype.itemsize)
+    kern = functools.partial(_slab_attn_fwd_kernel, k_w, use_bits, heads,
+                             f, r_blk, g, negative_slope, compute_dtype)
+    lead = lambda b: (jnp.clip(b * g - 1, 0, nb - 1), 0)
+    trail = lambda b: (jnp.clip((b + 1) * g, 0, nb - 1), 0)
+    lead_c = lambda b: (0, jnp.clip(b * g - 1, 0, nb - 1))
+    trail_c = lambda b: (0, jnp.clip((b + 1) * g, 0, nb - 1))
+    ell_spec = pl.BlockSpec((g * r_blk, adj.shape[1]), lambda b: (b, 0))
+    ad_spec = pl.BlockSpec((g * r_blk, 128), lambda b: (b, 0))
+    as_specs = [pl.BlockSpec((sub, r_blk), lead_c),
+                pl.BlockSpec((sub, g * r_blk), lambda b: (0, b)),
+                pl.BlockSpec((sub, r_blk), trail_c)]
+    x_specs = [pl.BlockSpec((r_blk, hf), lead),
+               pl.BlockSpec((g * r_blk, hf), lambda b: (b, 0)),
+               pl.BlockSpec((r_blk, hf), trail)]
     u, ms_b = pl.pallas_call(
         kern,
-        grid=(nb,),
+        grid=(nb // g,),
         in_specs=[ell_spec, ad_spec] + as_specs + x_specs,
-        out_specs=[pl.BlockSpec((r_blk, hf), lambda b: (b, 0)),
-                   pl.BlockSpec((r_blk, 128), lambda b: (b, 0))],
+        out_specs=[pl.BlockSpec((g * r_blk, hf), lambda b: (b, 0)),
+                   pl.BlockSpec((g * r_blk, 128), lambda b: (b, 0))],
         out_shape=[jax.ShapeDtypeStruct((n_pad, hf), jnp.float32),
                    jax.ShapeDtypeStruct((n_pad, 128), jnp.float32)],
         interpret=interpret,

@@ -293,9 +293,19 @@ def test_papers100m_scale_edge_ids_beyond_int32(cpu_mesh, tmp_path):
 
 
 def test_gather_recv_cap_policy_is_O_batch():
-    from cugraph_gnn_tpu.store.dist_array import dist_gather_recv_cap
-    # world <= 8 keeps the flat world*B buffer (small, collective-minimal)
-    assert dist_gather_recv_cap(512, 8) is None
+    from cugraph_gnn_tpu.store.dist_array import (
+        _use_ragged_a2a,
+        dist_gather_recv_cap,
+    )
+    # ragged-a2a (TPU) keeps the flat world*B buffer up to world 8
+    # (small, collective-minimal); the DENSE fallback bounds from
+    # world > 4 — its response leg pads to world^2*B rows (the
+    # SCALING_r04 W=8 blowup, fixed round 5)
+    if _use_ragged_a2a():
+        assert dist_gather_recv_cap(512, 8) is None
+    else:
+        assert dist_gather_recv_cap(512, 4) is None
+        assert dist_gather_recv_cap(512, 8) is not None
     # beyond that the request buffer is O(B), independent of world size
     for world in (16, 32, 256, 1024):
         cap = dist_gather_recv_cap(4096, world)
