@@ -280,34 +280,52 @@ def part_b(results):
     model = RGCN(num_relations=len(etypes), hidden_features=HIDDEN,
                  out_features=MAG_CLASSES, num_layers=2)
 
-    def sample_one(key, csrs):
-        # dedup=False static hetero layout: zero sorts, and batch_call
-        # reads neighbor activations with free slices (sampler/hetero.py)
-        seeds = jax.random.randint(
-            jax.random.fold_in(key, 99), (MAG_BATCH,), 0, MAG_PAPER,
-            jnp.int32)
-        s = hetero_multihop(
-            key, csrs, seeds, etype_names=etypes, fanouts=MAG_FANOUTS,
+    from cugraph_gnn_tpu.sampler.hetero import hetero_multihop_batched
+
+    def sample_block(key, csrs):
+        # dedup=False static hetero layout (zero sorts; batch_call
+        # reads neighbor activations with free slices) + REPS steps
+        # fused into one flattened frontier per hop per etype (the
+        # homogeneous bench's multihop_uniform_batched analog —
+        # PERF_NOTES round 5)
+        sk, pk = jax.random.split(key)
+        seeds = jax.random.randint(pk, (REPS, MAG_BATCH), 0, MAG_PAPER,
+                                   jnp.int32)
+        # typed target segments: each etype expands only the paper
+        # positions (PyG hetero semantics) — at this shape the untyped
+        # layout wasted ~57% of hop-2 slots on typed-mismatch -1s
+        s = hetero_multihop_batched(
+            sk, csrs, seeds, etype_names=etypes, fanouts=MAG_FANOUTS,
             edge_bases=edge_bases, max_degrees=maxdeg, caps=caps,
-            dedup=False)
+            seed_type="paper",
+            dst_types={en: "paper" for en in etypes},
+            src_types={"paper__cites__paper": "paper",
+                       "author__writes__paper": "author",
+                       "field__rev_has_topic__paper": "field"})
         return seeds, s
 
     tx = optax.adam(1e-3)
 
     @jax.jit
     def block(params, opt, total, key, csrs, feats, labels):
-        def body(carry, i):
+        seeds, sample = sample_block(key, csrs)
+        inp = sample.input_nodes                      # (REPS, N_in)
+        # unrolled per-step gathers (XLA pipelines independent
+        # gathers; in-scan they serialize — bench.py's finding)
+        x_all = jnp.stack([
+            feats[jnp.clip(inp[i], 0)].astype(jnp.bfloat16)
+            for i in range(REPS)])
+        ys = labels[jnp.clip(seeds, 0)]
+
+        def body(carry, xs):
             params, opt = carry
-            kk = jax.random.fold_in(key, i)
-            seeds, sample = sample_one(kk, csrs)
-            x = feats[jnp.clip(sample.input_nodes, 0)].astype(jnp.bfloat16)
-            y = labels[jnp.clip(seeds, 0)]
+            s, y, seed_row, x = xs
 
             def loss_fn(p):
-                logits = model.apply(p, x, sample, etypes,
+                logits = model.apply(p, x, s, etypes,
                                      method=RGCN.batch_call
                                      ).astype(jnp.float32)
-                valid = seeds >= 0
+                valid = seed_row >= 0
                 ls = optax.softmax_cross_entropy_with_integer_labels(
                     logits, y)
                 return jnp.sum(jnp.where(valid, ls, 0)) / jnp.maximum(
@@ -315,17 +333,17 @@ def part_b(results):
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             u, opt = tx.update(grads, opt)
-            edges = sum(jnp.sum(b.mask) for b in sample.hops[0].values())
-            edges += sum(jnp.sum(b.mask) for b in sample.hops[1].values())
+            edges = sum(jnp.sum(b.mask) for b in s.hops[0].values())
+            edges += sum(jnp.sum(b.mask) for b in s.hops[1].values())
             return ((optax.apply_updates(params, u), opt),
                     edges.astype(jnp.int32))
 
         (params, opt), edges = jax.lax.scan(
-            body, (params, opt), jnp.arange(REPS, dtype=jnp.int32))
+            body, (params, opt), (sample, ys, seeds, x_all))
         return params, opt, total + jnp.sum(edges)
 
-    _, s0 = jax.jit(sample_one, static_argnames=())(
-        jax.random.PRNGKey(0), csrs)
+    _, sb0 = jax.jit(sample_block)(jax.random.PRNGKey(0), csrs)
+    s0 = jax.tree_util.tree_map(lambda a: a[0], sb0)
     x0 = feats[jnp.clip(s0.input_nodes, 0)].astype(jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(1), x0, s0, etypes,
                         method=RGCN.batch_call)

@@ -202,10 +202,20 @@ class NeighborLoader(NodeLoader):
             max_unique_per_hop = resolve_max_unique_per_hop(
                 "auto", batch_size, num_neighbors, fd)
             dedup = True  # caps require the dedup renumbering layout
+        # typed target segments (hetero dedup=False fast path): with a
+        # typed input_nodes=(ntype, ids), each etype expands only its
+        # dst-type level positions (PyG hetero semantics) — at mag
+        # shape this is 2.5x the untyped static layout (PERF_NOTES
+        # round 5).  Temporal sampling stays on the untyped path.
+        seed_type = None
+        if (not dedup and time_attr is None and not disjoint
+                and isinstance(input_nodes, tuple)):
+            seed_type = input_nodes[0]
         sampler = build_neighbor_sampler(
             feature_store, graph_store, num_neighbors,
             weight_attr=weight_attr, time_attr=time_attr, dedup=dedup,
-            max_unique_per_hop=max_unique_per_hop, disjoint=disjoint)
+            max_unique_per_hop=max_unique_per_hop, disjoint=disjoint,
+            seed_type=seed_type)
         super().__init__(data, sampler, input_nodes=input_nodes,
                          batch_size=batch_size, shuffle=shuffle,
                          drop_last=drop_last, input_time=input_time,
@@ -215,7 +225,7 @@ class NeighborLoader(NodeLoader):
 def build_neighbor_sampler(feature_store, graph_store, num_neighbors,
                            weight_attr=None, time_attr=None,
                            dedup: bool = True, max_unique_per_hop=None,
-                           disjoint: bool = False):
+                           disjoint: bool = False, seed_type=None):
     """Construct the right sampler for a graph store (shared by
     NeighborLoader and LinkNeighborLoader): homogeneous CSR sampler
     (uniform/biased/temporal, optionally disjoint) or the hetero
@@ -253,13 +263,15 @@ def build_neighbor_sampler(feature_store, graph_store, num_neighbors,
         return collect_edge_attrs_by_etype(
             feature_store, graph_store, graph, attr)
 
+    effective_dedup = (True if (disjoint or max_unique_per_hop is not None)
+                       else dedup)
     sampler = HeteroNeighborSampler(
         graph, num_neighbors,
         weights_by_etype=_collect(weight_attr),
         times_by_etype=_collect(time_attr),
         max_unique_per_hop=max_unique_per_hop,
-        dedup=True if (disjoint or max_unique_per_hop is not None)
-        else dedup)
+        dedup=effective_dedup,
+        seed_type=None if effective_dedup else seed_type)
     if disjoint:
         # per-seed typed subgraphs (PyG disjoint over hetero loaders,
         # ref distributed_sampler.py:168-218 disjoint batch offsets)

@@ -301,6 +301,40 @@ class RGCNConv(nn.Module):
             out = out + self.lin_rel[r](agg)
         return out
 
+    def typed_call(self, x_dst, rel_neigh):
+        """Typed-target-segment variant (sampler/hetero.py
+        hetero_multihop_batched(dst_types=...)): relation r's block
+        covers only the level's dst-type target rows, so each tuple is
+        (x_neigh (S_r, k, F), mask, plan) with ``plan`` a static tuple
+        of (segment_length, covered) over the level's positional
+        segments — the per-relation output is placed back at its
+        segment rows (zeros elsewhere).  2-tuples (full-cover blocks)
+        are accepted and behave like __call__'s."""
+        out = self.lin_root(x_dst)
+        for r, blk in enumerate(rel_neigh):
+            if blk is None:
+                continue
+            plan = None
+            if len(blk) == 2:
+                x_neigh, mask = blk
+            else:
+                x_neigh, mask, plan = blk
+            agg = fanout_aggregate(x_neigh, mask, self.aggr)
+            rel = self.lin_rel[r](agg)
+            if plan is not None:
+                pieces, off = [], 0
+                for length, covered in plan:
+                    if covered:
+                        pieces.append(rel[off:off + length])
+                        off += length
+                    else:
+                        pieces.append(jnp.zeros(
+                            (length,) + rel.shape[1:], rel.dtype))
+                rel = (pieces[0] if len(pieces) == 1
+                       else jnp.concatenate(pieces, axis=0))
+            out = out + rel
+        return out
+
     def edgewise(self, x_dst, x_neigh, mask, edge_type):
         """Per-EDGE relation ids instead of per-relation blocks: the
         reference's FastRGCNConv consumption pattern over a homogeneous

@@ -192,21 +192,34 @@ class RGCN(nn.Module):
         activations read via ``batch.gather_neighbors`` — free
         contiguous slices on dedup=False static layouts (sampler/
         hetero.py), row gathers otherwise.  Relation order follows
-        ``etype_names`` (must match num_relations)."""
+        ``etype_names`` (must match num_relations).  Typed-segment
+        layouts (4-field entries from hetero_multihop_batched's
+        dst_types mode) route through RGCNConv.typed_call, which places
+        each relation's aggregate at its dst-type target rows."""
         h = x_input
         num_hops = batch.num_hops
         for li, conv in enumerate(self.convs):
             hop_index = num_hops - 1 - li
             hop = batch.hops[hop_index]
             x_dst = batch.dst_activations(h, hop_index)
+            entries = {e[0]: e for e in
+                       (batch.layouts[hop_index] if batch.layouts
+                        else ())}
+            typed = False
             blocks = []
             for en in etype_names:
                 if en in hop:
-                    blocks.append((batch.gather_neighbors(h, hop_index, en),
-                                   hop[en].mask))
+                    acts = batch.gather_neighbors(h, hop_index, en)
+                    e = entries.get(en)
+                    if e is not None and len(e) > 3:
+                        typed = True
+                        blocks.append((acts, hop[en].mask, e[3]))
+                    else:
+                        blocks.append((acts, hop[en].mask))
                 else:
                     blocks.append(None)
-            h = conv(x_dst, blocks)
+            h = (conv.typed_call(x_dst, blocks) if typed
+                 else conv(x_dst, blocks))
             if conv is not self.convs[-1]:
                 h = nn.relu(h)
         return h

@@ -59,8 +59,14 @@ class HeteroMultihopBatch(NamedTuple):
         """Level-l target rows of the level-(l+1) activation array
         (blockwise prefix when sharded)."""
         from cugraph_gnn_tpu.sampler.output import shard_prefix
-        blocks = self.hops[hop_index]
-        s_l = next(iter(blocks.values())).neigh_local.shape[0]
+        if self.layouts:
+            # static layouts: the level width IS the target count (a
+            # typed hop block covers only its dst-type segment, so its
+            # shape understates the level — see hetero_multihop_batched)
+            s_l = self.levels[hop_index].shape[-1]
+        else:
+            blocks = self.hops[hop_index]
+            s_l = next(iter(blocks.values())).neigh_local.shape[0]
         return shard_prefix(h, s_l, self.num_shards)
 
     def gather_neighbors(self, h, hop_index: int, etype: str):
@@ -69,8 +75,11 @@ class HeteroMultihopBatch(NamedTuple):
         from cugraph_gnn_tpu.sampler.output import shard_gather
         blk = self.hops[hop_index][etype]
         if self.layouts and self.num_shards == 1:
-            for ename, start, fanout in self.layouts[hop_index]:
-                if ename == etype:
+            # entries are (ename, start, fanout) or, for typed target
+            # segments, (ename, start, fanout, segment_plan)
+            for entry in self.layouts[hop_index]:
+                if entry[0] == etype:
+                    start, fanout = entry[1], entry[2]
                     t = blk.neigh_local.shape[0]
                     if h.shape[0] >= start + t * fanout:
                         return h[start: start + t * fanout].reshape(
@@ -106,10 +115,27 @@ class HeteroNeighborSampler:
                  weights_by_etype: Optional[Dict] = None,
                  times_by_etype: Optional[Dict] = None,
                  max_unique_per_hop: Optional[Sequence[int]] = None,
-                 dedup: bool = True):
+                 dedup: bool = True, seed_type: Optional[str] = None):
         from cugraph_gnn_tpu.ops.window_gather import pad_to_lines
         self.graph = graph
         self.etypes = list(graph.etypes)
+        # typed target segments (dedup=False fast path): with the seed
+        # node type known, each etype expands only the positions of its
+        # dst type — src/dst types read off the (src, rel, dst) etype
+        # tuples (graph CSR rows are destinations, cols sources)
+        self.seed_type = seed_type
+        if seed_type is not None:
+            if dedup:
+                raise ValueError("seed_type (typed segments) requires "
+                                 "dedup=False")
+            if not all(isinstance(et, tuple) and len(et) == 3
+                       for et in self.etypes):
+                raise ValueError("typed segments need (src, rel, dst) "
+                                 "edge-type tuples")
+            self.dst_types = {_etype_str(et): et[2] for et in self.etypes}
+            self.src_types = {_etype_str(et): et[0] for et in self.etypes}
+        else:
+            self.dst_types = self.src_types = None
         # padded to 512B-line multiples for the window gather (matches
         # the padded per-etype CSR indices from SamplingGraph.build)
         self.weights = { _etype_str(k): pad_to_lines(jnp.asarray(v))
@@ -170,7 +196,10 @@ class HeteroNeighborSampler:
             weights=self.weights or None,
             times=self.times or None,
             node_times=node_times,
-            dedup=self.dedup)
+            dedup=self.dedup,
+            seed_type=self.seed_type,
+            dst_types=self.dst_types,
+            src_types=self.src_types)
 
     def sample(self, key, seeds, node_times=None) -> HeteroMultihopBatch:
         return self._sample_jit(
@@ -179,8 +208,8 @@ class HeteroNeighborSampler:
 
 def hetero_multihop(key, csrs, seeds, *, etype_names, fanouts, edge_bases,
                     max_degrees, caps, weights=None, times=None,
-                    node_times=None,
-                    dedup: bool = True) -> HeteroMultihopBatch:
+                    node_times=None, dedup: bool = True, seed_type=None,
+                    dst_types=None, src_types=None) -> HeteroMultihopBatch:
     """Functional heterogeneous multi-hop sample with *explicit* graph
     arguments (the hetero analog of ``multihop_uniform``): ``csrs`` maps
     edge-type name -> (indptr, indices) device arrays and can be passed
@@ -203,7 +232,25 @@ def hetero_multihop(key, csrs, seeds, *, etype_names, fanouts, edge_bases,
     (the dedup budget already uses the no-dedup bound), and the batch
     carries ``layouts`` metadata so gather_neighbors turns into free
     contiguous slices.
+
+    seed_type / dst_types / src_types enable TYPED target segments
+    (each etype expands only dst-type positions — see
+    hetero_multihop_batched): supported on the dedup=False non-temporal
+    path, where this call delegates to the batched implementation at
+    S=1 (identical draw streams: the flattened (1, B) seeds ARE the
+    (B,) seeds and the fold_in structure matches).
     """
+    if not dedup and not times and node_times is None:
+        batched = hetero_multihop_batched(
+            key, csrs, seeds[None], etype_names=etype_names,
+            fanouts=fanouts, edge_bases=edge_bases,
+            max_degrees=max_degrees, caps=caps, weights=weights,
+            seed_type=seed_type, dst_types=dst_types,
+            src_types=src_types)
+        return jax.tree_util.tree_map(lambda a: a[0], batched)
+    if dst_types is not None:
+        raise ValueError("typed target segments need dedup=False and "
+                         "non-temporal sampling (the static layout)")
     num_hops = len(caps) - 1
     weights = weights or {}
     times = times or {}
@@ -328,3 +375,141 @@ def hetero_multihop(key, csrs, seeds, *, etype_names, fanouts, edge_bases,
         levels=levels, level_counts=level_counts, hops=hops,
         seed_count=level_counts[0],
         layouts=tuple(layouts) if not dedup else ())
+
+
+def hetero_multihop_batched(key, csrs, seeds, *, etype_names, fanouts,
+                            edge_bases, max_degrees, caps=None,
+                            weights=None, seed_type=None, dst_types=None,
+                            src_types=None) -> HeteroMultihopBatch:
+    """S independent hetero mini-batches sampled as ONE flattened
+    frontier — the hetero analog of ``multihop_uniform_batched``
+    (sampler/neighbor_sampler.py): the per-seed ops (draws, the
+    neighbor-id window gathers) are row-rate bound with a per-op ramp,
+    so batching S steps into each hop's device pass lifts the sample
+    stage the same way the homogeneous fused path does (PERF_NOTES
+    round 5; the reference's analog is the bulk sampler's call-group
+    batching, ref cugraph_pyg/sampler/distributed_sampler.py:279-343).
+
+    seeds: (S, B) int32; ``caps`` is accepted for signature parity but
+    only its length (the hop count) is used — the dedup=False layout's
+    capacities are positional.  Every array leaf of the result carries
+    a leading step axis (S, ...); slicing step s (or scanning the
+    pytree) yields the same static layout ``hetero_multihop(...,
+    dedup=False)`` produces for seeds[s] (draw streams differ from S
+    separate calls — one fold_in per (hop, etype) across the flattened
+    batch — but are iid uniform all the same).  Hand-flattened rather
+    than vmapped: a vmap of the per-step sampler batches the window
+    gathers into strided forms XLA lowers ~3x slower (measured,
+    benchmarks/model_bench.py part B).  Temporal sampling stays on the
+    per-step path.
+
+    TYPED target segments (round 5): pass ``seed_type`` plus per-etype
+    ``dst_types``/``src_types`` dicts and each edge type samples ONLY
+    from the level positions whose node type matches its destination
+    type — PyG hetero semantics (an etype expands dst-type nodes
+    alone).  The untyped layout sampled every etype from EVERY target,
+    relying on degree-0 rows to emit -1s: at ogbn-mag shape ~57% of
+    hop-2 slots were typed-mismatch garbage that still paid sampling
+    draws and feature-gather rows (measured, PERF_NOTES round 5).
+    Typed layout entries carry a 4th field: the segment plan (tuple of
+    (segment_length, covered) over the level's positional segments, in
+    order), consumed by RGCNConv.typed_call to place per-relation
+    aggregates back at their target rows.
+    """
+    weights = weights or {}
+    if caps is not None:
+        num_hops = len(caps) - 1
+    else:
+        num_hops = len(next(f for f in fanouts.values() if f))
+    typed = dst_types is not None
+    if typed and (seed_type is None or src_types is None):
+        raise ValueError("typed sampling needs seed_type, dst_types "
+                         "AND src_types")
+    s_steps, batch = seeds.shape
+    levels = [seeds.astype(jnp.int32)]
+    level_counts = [jnp.sum(seeds >= 0, axis=1).astype(jnp.int32)]
+    # positional segments of the current level: (start, length, ntype)
+    segments = [(0, batch, seed_type)]
+    layouts: List[tuple] = []
+    hops: List[Dict[str, HopBlock]] = []
+    for h in range(num_hops):
+        targets = levels[-1]                        # (S, t)
+        t = targets.shape[1]
+        per_type_out = {}
+        for ei, ename in enumerate(etype_names):
+            fan = fanouts[ename]
+            if fan is None or fan[h] <= 0:
+                continue
+            if typed:
+                segs = [(a, l) for a, l, ty in segments
+                        if ty == dst_types[ename]]
+                t_e = sum(l for _, l in segs)
+                if t_e == 0:
+                    continue
+                targets_e = (targets[:, segs[0][0]:segs[0][0] + segs[0][1]]
+                             if len(segs) == 1 else jnp.concatenate(
+                                 [targets[:, a:a + l] for a, l in segs],
+                                 axis=1))
+                plan = tuple((l, ty == dst_types[ename])
+                             for _, l, ty in segments)
+            else:
+                targets_e, t_e, plan = targets, t, None
+            flat = targets_e.reshape(-1)
+            valid_seed = flat >= 0
+            safe = jnp.where(valid_seed, flat, 0)
+            indptr, indices = csrs[ename]
+            hkey = jax.random.fold_in(jax.random.fold_in(key, h), ei)
+            w = weights.get(ename)
+            ind2d = (indices.reshape(-1, 128)
+                     if indices.shape[0] % 128 == 0 else None)
+            maxdeg = max_degrees[ename]
+            if w is not None:
+                out = sample_ops.weighted_sample(
+                    hkey, indptr, indices, w, safe, fan[h],
+                    max_degree=maxdeg, indices2d=ind2d,
+                    weights2d=w.reshape(-1, 128))
+            else:
+                out = sample_ops.uniform_sample(
+                    hkey, indptr, indices, safe, fan[h],
+                    indices2d=ind2d, max_degree=maxdeg)
+            vm = valid_seed[:, None]
+            neighbors = jnp.where(vm, out.neighbors, -1).reshape(
+                s_steps, t_e, fan[h])
+            edge_ids = jnp.where(
+                vm & (out.edge_ids >= 0),
+                out.edge_ids + edge_bases[ename], -1).reshape(
+                s_steps, t_e, fan[h])
+            per_type_out[ename] = (neighbors, edge_ids, plan)
+        # per-step static layout: [targets | per-etype blocks row-major]
+        blocks = {}
+        layout = []
+        parts = [targets]
+        new_segs = []
+        pos_start = t
+        for ename in etype_names:
+            if ename not in per_type_out:
+                continue
+            neighbors, edge_ids, plan = per_type_out[ename]
+            t_e, f = neighbors.shape[1], neighbors.shape[2]
+            pos = (pos_start
+                   + jnp.arange(t_e * f, dtype=jnp.int32)).reshape(t_e, f)
+            nl = jnp.where(neighbors >= 0, pos[None], -1)
+            blocks[ename] = HopBlock(
+                neigh_local=nl, neigh_global=neighbors,
+                edge_ids=edge_ids)
+            layout.append((ename, pos_start, f) if plan is None
+                          else (ename, pos_start, f, plan))
+            parts.append(neighbors.reshape(s_steps, t_e * f))
+            if typed:
+                new_segs.append((pos_start, t_e * f, src_types[ename]))
+            pos_start += t_e * f
+        hops.append(blocks)
+        layouts.append(tuple(layout))
+        segments = segments + new_segs
+        next_level = jnp.concatenate(parts, axis=1)
+        levels.append(next_level)
+        level_counts.append(
+            jnp.sum(next_level >= 0, axis=1).astype(jnp.int32))
+    return HeteroMultihopBatch(
+        levels=levels, level_counts=level_counts, hops=hops,
+        seed_count=level_counts[0], layouts=tuple(layouts))
