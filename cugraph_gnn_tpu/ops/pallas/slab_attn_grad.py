@@ -222,8 +222,9 @@ def _bwd_onepass_kernel(heads, f, sub, r_blk, g_stack, negative_slope,
     bits_all = bits_ref[...]
     ns = jnp.float32(negative_slope)
     hf = heads * f
-    acc_dx = jnp.zeros(((g_stack + 2) * r_blk, hf), jnp.float32)
-    acc_das = jnp.zeros((sub, (g_stack + 2) * r_blk), jnp.float32)
+    if g_stack > 1:
+        acc_dx = jnp.zeros(((g_stack + 2) * r_blk, hf), jnp.float32)
+        acc_das = jnp.zeros((sub, (g_stack + 2) * r_blk), jnp.float32)
     for j in range(g_stack):
         a = _decode_bits(bits_all[j * r_blk:(j + 1) * r_blk],
                          r_blk)                              # (R, 3R)
@@ -258,6 +259,16 @@ def _bwd_onepass_kernel(heads, f, sub, r_blk, g_stack, negative_slope,
         dad_ref[j * r_blk:(j + 1) * r_blk] = jnp.concatenate(
             dads + [lane_pad], axis=1)
         dx_j = jnp.concatenate(dxs, axis=1)                  # (3R, HF)
+        das_pad = jnp.zeros((sub - heads, 3 * r_blk), jnp.float32)
+        das_j = jnp.concatenate(dass + [das_pad], axis=0)    # (sub, 3R)
+        if g_stack == 1:
+            # direct write — the VMEM accumulator's copy passes cost
+            # real time at large HF (the mh case runs g=1)
+            dxc_ref[...] = dx_j[r_blk:2 * r_blk]
+            dxm_ref[...] = jnp.concatenate(
+                [dx_j[:r_blk], dx_j[2 * r_blk:]], axis=1)
+            das_ref[...] = das_j
+            return
         # static-slice accumulate via concat (jnp .at[].add lowers to a
         # scatter whose empty index constants pallas rejects;
         # lax.dynamic_slice has no Mosaic TC lowering)
@@ -266,8 +277,6 @@ def _bwd_onepass_kernel(heads, f, sub, r_blk, g_stack, negative_slope,
             [p for p in (acc_dx[:j * r_blk], mid,
                          acc_dx[j * r_blk + 3 * r_blk:])
              if p.shape[0]], axis=0)
-        das_pad = jnp.zeros((sub - heads, 3 * r_blk), jnp.float32)
-        das_j = jnp.concatenate(dass + [das_pad], axis=0)    # (sub, 3R)
         dmid = acc_das[:, j * r_blk:j * r_blk + 3 * r_blk] + das_j
         acc_das = jnp.concatenate(
             [p for p in (acc_das[:, :j * r_blk], dmid,
@@ -304,7 +313,9 @@ def _merge_gstack_margins(center, lead, trail, r_blk, g_stack):
     rows and its trailing plane to the next step's first R rows
     (out-of-range margins — grid 0's lead, last grid's trail — carry
     only adjacency-masked zeros and are dropped).  center: (n_pad, W)
-    viewed as (nbg, G*R, W); lead/trail: (nbg*R, W)."""
+    viewed as (nbg, G*R, W); lead/trail: (nbg*R, W).  Pure pad/concat
+    adds — an .at[].add here lowers to a scatter, which costs several
+    ms at full scale."""
     w = center.shape[1]
     gr = g_stack * r_blk
     nbg = center.shape[0] // gr
@@ -312,6 +323,8 @@ def _merge_gstack_margins(center, lead, trail, r_blk, g_stack):
     lead = lead.reshape(nbg, r_blk, w)
     trail = trail.reshape(nbg, r_blk, w)
     if nbg > 1:
+        # the .at form measures ~3 ms faster than pad/concat adds at
+        # full scale (the concats materialize (n_pad, W) temporaries)
         c = c.at[:-1, gr - r_blk:].add(lead[1:])
         c = c.at[1:, :r_blk].add(trail[:-1])
     return c.reshape(nbg * gr, w)
